@@ -1,0 +1,139 @@
+"""Build an :class:`EdgeSet` inside ``jit`` from a sampled triple batch.
+
+Link-prediction training samples a fresh positive subgraph every step
+(reference ``experiments/predict_links.py:123-148``) and applies general edge
+dropout by *physically removing* triples, which would give dynamic shapes.
+Here the whole pipeline — inverse generation, edge dropout, relation sort,
+degree normalization, relation-bucket tile padding — is expressed as
+fixed-shape JAX ops so the entire train step stays inside one compiled
+program:
+
+* dropout is a Bernoulli *mask*: dropped edges keep their slot with
+  ``val == 0`` and are excluded from the degree counts, matching the
+  reference's normalize-after-subsampling behavior;
+* an original edge and its generated inverse share one dropout fate, as in
+  the reference where inverses are generated from the already-subsampled
+  graph (``torch_rgcn/layers.py:481-487``);
+* the static padded size is ``ceil((2B + 2R*(T-1)) / T) * T`` — each of the
+  ``2R`` relation buckets can waste at most ``T - 1`` slots.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rgcn_tpu.graph.structure import EdgeSet
+
+__all__ = ["padded_size", "build_edge_set_dynamic", "self_loop_keep_mask"]
+
+
+def padded_size(num_edges: int, num_general_rels: int, tile_size: int) -> int:
+    """Static upper bound on the tile-padded edge count."""
+    bound = num_edges + num_general_rels * (tile_size - 1)
+    return ((bound + tile_size - 1) // tile_size) * tile_size
+
+
+def build_edge_set_dynamic(
+    positives: jax.Array,
+    num_nodes: int,
+    num_rels: int,
+    tile_size: int = 128,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> EdgeSet:
+    """Turn a ``(B, 3)`` positive-triple batch into a padded :class:`EdgeSet`.
+
+    ``num_rels`` is the number of *original* relations ``R``; the result
+    stores ``2R`` general relations (originals + inverses). All shapes depend
+    only on ``B``, ``R`` and ``tile_size``.
+    """
+    bsz = positives.shape[0]
+    num_general = 2 * num_rels
+    e_raw = 2 * bsz
+    e_pad = padded_size(e_raw, num_general, tile_size)
+    n_tiles = e_pad // tile_size
+
+    s = positives[:, 0].astype(jnp.int32)
+    p = positives[:, 1].astype(jnp.int32)
+    o = positives[:, 2].astype(jnp.int32)
+
+    # originals || inverses; receiver = subject, source = object.
+    dst = jnp.concatenate([s, o])
+    src = jnp.concatenate([o, s])
+    rel = jnp.concatenate([p, p + num_rels])
+
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(
+            dropout_key, 1.0 - dropout_rate, (bsz,)
+        ).astype(jnp.float32)
+    else:
+        keep = jnp.ones((bsz,), dtype=jnp.float32)
+    mask = jnp.concatenate([keep, keep])  # inverse shares its original's fate
+
+    # Sort by (relation, receiver).
+    sort_key = rel.astype(jnp.int64) * (num_nodes + 1) + dst.astype(jnp.int64)
+    order = jnp.argsort(sort_key)
+    sort_key = sort_key[order]
+    src, dst, rel, mask = src[order], dst[order], rel[order], mask[order]
+
+    # Degree per (rel, dst) group as a run-length computation on sorted keys.
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sort_key[1:] != sort_key[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(is_new) - 1  # group id, < e_raw
+    deg = jax.ops.segment_sum(mask, seg, num_segments=e_raw)[seg]
+    val = jnp.where(deg > 0, mask / jnp.maximum(deg, 1.0), 0.0)
+
+    # Relation-bucket tile padding.
+    counts = jax.ops.segment_sum(
+        jnp.ones((e_raw,), jnp.int32), rel, num_segments=num_general
+    )
+    padded = ((counts + tile_size - 1) // tile_size) * tile_size
+    cum_padded = jnp.cumsum(padded)
+    offsets = cum_padded - padded  # exclusive cumsum
+    cum_counts = jnp.cumsum(counts)
+    starts = cum_counts - counts
+    pos = offsets[rel] + (jnp.arange(e_raw, dtype=jnp.int32) - starts[rel])
+
+    src_p = jnp.zeros((e_pad,), jnp.int32).at[pos].set(src)
+    dst_p = jnp.full((e_pad,), num_nodes, jnp.int32).at[pos].set(dst)
+    val_p = jnp.zeros((e_pad,), jnp.float32).at[pos].set(val)
+
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_size
+    tile_rel = jnp.searchsorted(cum_padded, tile_starts, side="right")
+    tile_rel = jnp.minimum(tile_rel, num_general - 1).astype(jnp.int32)
+    rel_p = jnp.repeat(tile_rel, tile_size)
+
+    return EdgeSet(
+        src=src_p,
+        dst=dst_p,
+        rel=rel_p,
+        val=val_p,
+        tile_rel=tile_rel,
+        num_nodes=int(num_nodes),
+        num_rels=int(num_general),
+        tile_size=int(tile_size),
+        num_edges=int(e_raw),
+    )
+
+
+def self_loop_keep_mask(
+    key: Optional[jax.Array],
+    num_nodes: int,
+    keep_prob: float,
+) -> jax.Array:
+    """Per-node Bernoulli keep mask for self-loop edge dropout.
+
+    Mirrors the mask in ``generate_self_loops``
+    (``torch_rgcn/utils.py:110-124``); returned as ``(N, 1)`` floats so it
+    broadcasts over the dense self-loop message ``X @ W_self``.
+    """
+    if key is None or keep_prob >= 1.0:
+        return jnp.ones((num_nodes, 1), jnp.float32)
+    return jax.random.bernoulli(key, keep_prob, (num_nodes, 1)).astype(
+        jnp.float32
+    )

@@ -1,0 +1,212 @@
+"""Static-shape relational edge structure for TPU message passing.
+
+The reference implementation rebuilds a stacked sparse adjacency matrix inside
+every forward pass (``/root/reference/torch_rgcn/layers.py:255-279,489-516``)
+and dispatches across four message-passing codepaths. On TPU we instead
+preprocess the graph once into a **relation-sorted, tile-padded COO** layout:
+
+* Edges are sorted by ``(relation, receiver)``. Relation-sorting makes the
+  per-edge weight matrix blockwise-constant so message computation is dense
+  MXU work per tile; receiver-sorting within a relation makes degree counts a
+  run-length computation and keeps scatter locality high.
+* Each relation's edge segment is padded to a multiple of ``tile_size`` so
+  that every tile has a single relation id (``tile_rel``). Shapes are fully
+  static; dropped/padding edges simply carry ``val == 0``.
+* The normalization coefficient is ``val[e] = 1 / deg_p(s)`` where
+  ``deg_p(s)`` counts edges with receiver ``s`` and relation ``p``. This is
+  exactly the quantity the reference computes with ``sum_sparse`` plus the
+  horizontal reorder trick (``torch_rgcn/utils.py:71-97``,
+  ``torch_rgcn/layers.py:266-273,504-510``): under vertical stacking the row
+  sum of row ``p*N+s`` is ``deg_p(s)``; under horizontal stacking the
+  column sums are computed in transposed order and then reordered
+  (inverse-edge block first) so each edge again ends up with
+  ``1 / deg_p(subject)``. Both stackings are therefore the *same* operation,
+  and this module implements that one operation.
+
+Self-loops (``(v, 2R, v)``) are **not** stored as edges: their normalization
+constant is identically 1 (each node has exactly one), so layers add the
+self-loop message densely as ``mask * (X @ W_self)`` — an MXU matmul instead
+of N scatter-adds. Self-loop dropout (``torch_rgcn/utils.py:110-124``)
+becomes a Bernoulli mask on that dense term.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+try:  # JAX is the compute substrate but NumPy-only use (tests, tooling) works.
+    import jax
+
+    _HAVE_JAX = True
+except Exception:  # pragma: no cover
+    _HAVE_JAX = False
+
+from rgcn_tpu.graph.augment import inverse_triples
+
+__all__ = ["EdgeSet", "build_edge_set", "edge_normalization"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeSet:
+    """Relation-sorted, tile-padded general edges of an augmented graph.
+
+    ``src``/``dst``/``rel``/``val`` all have static length
+    ``num_tiles * tile_size``. ``dst`` is the message *receiver* (the triple's
+    subject), ``src`` the message *source* (the triple's object) — messages
+    flow object → subject over the doubled relation vocabulary, matching the
+    reference's stacked-adjacency product (``torch_rgcn/layers.py:286-301``).
+
+    Padding entries have ``val == 0`` and ``dst == num_nodes`` (a dummy row
+    sliced off after aggregation); ``src``/``rel`` of pads are in-range so
+    gathers stay clamped and harmless.
+    """
+
+    src: np.ndarray  # (E_pad,) int32
+    dst: np.ndarray  # (E_pad,) int32
+    rel: np.ndarray  # (E_pad,) int32
+    val: np.ndarray  # (E_pad,) float32
+    tile_rel: np.ndarray  # (E_pad // tile_size,) int32
+    num_nodes: int
+    num_rels: int  # number of *general* relations stored here (2R)
+    tile_size: int
+    num_edges: int  # real (non-pad) edge count
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tile_rel.shape[0]
+
+    def device_arrays(self):
+        """Return the array fields as a dict (convenient for jax.device_put)."""
+        return {
+            "src": self.src,
+            "dst": self.dst,
+            "rel": self.rel,
+            "val": self.val,
+            "tile_rel": self.tile_rel,
+        }
+
+
+if _HAVE_JAX:
+
+    def _edgeset_flatten(es: EdgeSet):
+        children = (es.src, es.dst, es.rel, es.val, es.tile_rel)
+        aux = (es.num_nodes, es.num_rels, es.tile_size, es.num_edges)
+        return children, aux
+
+    def _edgeset_unflatten(aux, children):
+        src, dst, rel, val, tile_rel = children
+        num_nodes, num_rels, tile_size, num_edges = aux
+        return EdgeSet(src, dst, rel, val, tile_rel,
+                       num_nodes, num_rels, tile_size, num_edges)
+
+    jax.tree_util.register_pytree_node(
+        EdgeSet, _edgeset_flatten, _edgeset_unflatten
+    )
+
+
+def edge_normalization(
+    rel: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """``1 / deg`` normalization per ``(rel, dst)`` group (NumPy version).
+
+    ``deg`` counts (kept) edges sharing the receiver and relation, i.e. the
+    row-sum of the vertically stacked adjacency
+    (``torch_rgcn/utils.py:71-97``). Masked-out edges get value 0 and do not
+    count toward their group's degree — this is how edge dropout preserves
+    the reference's "normalize over surviving edges" behavior
+    (``experiments/predict_links.py:143-148`` subsamples *before* the layer
+    normalizes) without dynamic shapes.
+    """
+    key = rel.astype(np.int64) * (num_nodes + 1) + dst.astype(np.int64)
+    if mask is None:
+        mask = np.ones(rel.shape[0], dtype=np.float32)
+    uniq, inv = np.unique(key, return_inverse=True)
+    deg = np.zeros(uniq.shape[0], dtype=np.float32)
+    np.add.at(deg, inv, mask.astype(np.float32))
+    deg_e = deg[inv]
+    return np.where(deg_e > 0, mask / np.maximum(deg_e, 1.0), 0.0).astype(
+        np.float32
+    )
+
+
+def build_edge_set(
+    triples: np.ndarray,
+    num_nodes: int,
+    num_rels: int,
+    tile_size: int = 128,
+    add_inverses: bool = True,
+) -> EdgeSet:
+    """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
+
+    ``triples`` holds the *original* graph (relations in ``[0, R)``); inverse
+    edges are generated here (relation ``p + R``), mirroring
+    ``add_inverse_and_self`` (``torch_rgcn/utils.py:127-141``) except that
+    self-loops are intentionally excluded (handled densely by the layers).
+    """
+    triples = np.asarray(triples, dtype=np.int64)
+    if triples.ndim != 2 or triples.shape[1] != 3:
+        raise ValueError(f"triples must be (E, 3), got {triples.shape}")
+
+    if add_inverses:
+        triples = np.concatenate(
+            [triples, inverse_triples(triples, num_rels)], axis=0
+        )
+        num_general = 2 * num_rels
+    else:
+        num_general = num_rels
+
+    dst = triples[:, 0]  # receiver = subject
+    rel = triples[:, 1]
+    src = triples[:, 2]  # source = object
+
+    # Sort by (relation, receiver): relation-uniform tiles + run-length degrees.
+    order = np.lexsort((dst, rel))
+    src, dst, rel = src[order], dst[order], rel[order]
+
+    val = edge_normalization(rel, dst, num_nodes)
+
+    # Pad each relation segment to a multiple of tile_size.
+    counts = np.bincount(rel, minlength=num_general)
+    padded = np.maximum(np.ceil(counts / tile_size).astype(np.int64), 0) * tile_size
+    offsets = np.concatenate([[0], np.cumsum(padded)])[:-1]
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+
+    e_pad = int(padded.sum())
+    if e_pad == 0:
+        e_pad = tile_size  # degenerate empty graph still gets one masked tile
+    pos = offsets[rel] + (np.arange(rel.shape[0]) - starts[rel])
+
+    def scatter(values, fill, dtype):
+        out = np.full(e_pad, fill, dtype=dtype)
+        out[pos] = values
+        return out
+
+    src_p = scatter(src, 0, np.int32)
+    dst_p = scatter(dst, num_nodes, np.int32)  # pads target the dummy row
+    val_p = scatter(val, 0.0, np.float32)
+
+    # Every tile has one relation; derive it from the padded offsets.
+    n_tiles = e_pad // tile_size
+    tile_starts = np.arange(n_tiles, dtype=np.int64) * tile_size
+    cum_padded = np.cumsum(padded)
+    tile_rel = np.searchsorted(cum_padded, tile_starts, side="right")
+    tile_rel = np.minimum(tile_rel, max(num_general - 1, 0)).astype(np.int32)
+    rel_p = np.repeat(tile_rel, tile_size).astype(np.int32)
+
+    return EdgeSet(
+        src=src_p,
+        dst=dst_p,
+        rel=rel_p,
+        val=val_p,
+        tile_rel=tile_rel,
+        num_nodes=int(num_nodes),
+        num_rels=int(num_general),
+        tile_size=int(tile_size),
+        num_edges=int(triples.shape[0]),
+    )

@@ -1,0 +1,323 @@
+"""Neural-net layers: one R-GCN convolution and the DistMult scorer.
+
+One :class:`RGCNConv` replaces both reference layers
+(``RelationalGraphConvolutionNC`` and ``RelationalGraphConvolutionLP``,
+``/root/reference/torch_rgcn/layers.py:101-565``): their vertical/horizontal/
+featureless/diagonal forward paths are the same math (see
+:mod:`rgcn_tpu.ops.spmm`), and their remaining differences — parameter
+layout for block decomposition, initializer scheme, self-loop dropout mode —
+are expressed as module attributes.
+
+Decompositions are weight *producers* feeding the one SpMM primitive:
+
+* ``None``   — full weights ``(R', din, dout)``
+* ``basis``  — ``comps (R', nb) @ bases (nb, din, dout)``
+  (``torch_rgcn/layers.py:242``)
+* ``block``  — block-diagonal ``(R', B, din/B, dout/B)``, never expanded to
+  the dense block matrix at runtime (``torch_rgcn/layers.py:534-543``)
+* ``diag``   — per-relation vectors ``(R', din)`` (e-RGCN,
+  ``torch_rgcn/layers.py:146-151,289-292``)
+
+The self-loop relation (index ``R' - 1``) is applied densely:
+``self_mask * dropout(X @ W_self)`` — one MXU matmul instead of ``N``
+scattered edges (each node has exactly one self-loop, so its normalization
+constant is 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rgcn_tpu.graph.structure import EdgeSet
+from rgcn_tpu.nn import init as rinit
+from rgcn_tpu.ops import spmm as spmm_ops
+from rgcn_tpu.ops import distmult as distmult_ops
+
+__all__ = ["RGCNConv", "DistMult", "TorchLinear"]
+
+
+class RGCNConv(nn.Module):
+    """Relational graph convolution over a static :class:`EdgeSet`.
+
+    Attributes:
+      num_nodes: N.
+      num_relations: augmented relation count ``R' = 2R + 1`` (last index is
+        the self-loop relation), matching the reference's layer construction
+        (``torch_rgcn/models.py:173,68``).
+      in_features: input width; ``None`` means featureless one-hot input of
+        width N (``torch_rgcn/layers.py:125``) — implemented as weight-row
+        gathers, the one-hot matrix never exists.
+      decomposition: ``None`` | ``'basis'`` | ``'block'``.
+      separate_self_weight: LP block mode — blocks cover only the ``2R``
+        general relations and a dense ``(din, dout)`` matrix handles the
+        self-loop (``torch_rgcn/layers.py:375-378``).
+      diag: per-relation diagonal weights (e-RGCN first layer); forces
+        ``out = in`` and no bias (``torch_rgcn/layers.py:146-151``).
+      weight_init / weight_gain / bias_init: initializer spec; NC layers use
+        glorot-uniform with relu gain and zero bias
+        (``torch_rgcn/layers.py:185-195``), LP layers take the config's
+        ``weight_init``/``include_gain``/``bias_init``.
+      self_loop_dropout: feature-dropout rate on the dense self-loop message
+        ("schlichtkrull-dropout", ``torch_rgcn/layers.py:544-546``); active
+        only when ``deterministic=False``.
+      axis_name: if set, edge-partial aggregates are ``psum``-reduced over
+        this mesh axis (edge-parallel sharding; see :mod:`rgcn_tpu.dist`).
+    """
+
+    num_nodes: int
+    num_relations: int
+    out_features: int
+    in_features: Optional[int] = None
+    decomposition: Optional[str] = None
+    num_bases: int = 0
+    num_blocks: int = 0
+    diag: bool = False
+    use_bias: bool = True
+    separate_self_weight: bool = False
+    weight_init: str = "glorot-uniform"
+    weight_gain: bool = True
+    bias_init: Optional[str] = "zeros"
+    self_loop_dropout: float = 0.0
+    axis_name: Optional[str] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _gain(self) -> float:
+        return rinit.relu_gain() if self.weight_gain else 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        edges: EdgeSet,
+        x: Optional[jax.Array] = None,
+        *,
+        self_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if (x is None) != (self.in_features is None):
+            raise ValueError("features must be given iff in_features is set")
+
+        n = self.num_nodes
+        r_aug = self.num_relations
+        din = self.in_features if self.in_features is not None else n
+        dout = self.out_features
+        gain = self._gain()
+        w_init = rinit.select_weight_init(self.weight_init, gain)
+
+        # ------------------------------------------------------------------
+        # Parameters + message passing per weight layout.
+        # ------------------------------------------------------------------
+        if self.diag:
+            if self.in_features is None:
+                raise ValueError("diagonal weights require explicit features")
+            weights = self.param(
+                "weights", w_init, (r_aug, din), self.param_dtype
+            )
+            agg = spmm_ops.rel_spmm_diag(edges, x, weights[:-1])
+            agg = self._reduce(agg)
+            self_msg = x * weights[-1]
+            out = agg + self._masked_self(self_msg, self_mask, deterministic)
+            return out  # diag mode has no bias (torch_rgcn/layers.py:151)
+
+        if self.decomposition is None:
+            weights = self.param(
+                "weights", w_init, (r_aug, din, dout), self.param_dtype
+            )
+            out = self._dense_path(edges, x, weights, self_mask, deterministic)
+        elif self.decomposition == "basis":
+            if self.num_bases <= 0:
+                raise ValueError("basis decomposition needs num_bases > 0")
+            bases = self.param(
+                "bases", w_init, (self.num_bases, din, dout), self.param_dtype
+            )
+            comps = self.param(
+                "comps", w_init, (r_aug, self.num_bases), self.param_dtype
+            )
+            weights = jnp.einsum("rb,bio->rio", comps, bases)
+            out = self._dense_path(edges, x, weights, self_mask, deterministic)
+        elif self.decomposition == "block":
+            out = self._block_path(edges, x, self_mask, deterministic)
+        else:
+            raise NotImplementedError(
+                f"{self.decomposition!r} decomposition has not been implemented"
+            )
+
+        if self.use_bias and self.bias_init is not None:
+            b_init = rinit.select_bias_init(self.bias_init)
+            bias = self.param("bias", b_init, (dout,), self.param_dtype)
+            out = out + bias
+        return out
+
+    # ----------------------------------------------------------------------
+    def _reduce(self, agg: jax.Array) -> jax.Array:
+        if self.axis_name is not None:
+            agg = jax.lax.psum(agg, self.axis_name)
+        return agg
+
+    def _masked_self(
+        self,
+        self_msg: jax.Array,
+        self_mask: Optional[jax.Array],
+        deterministic: bool,
+    ) -> jax.Array:
+        if self.self_loop_dropout > 0.0:
+            self_msg = nn.Dropout(rate=self.self_loop_dropout)(
+                self_msg, deterministic=deterministic
+            )
+        if self_mask is not None:
+            self_msg = self_msg * self_mask
+        return self_msg
+
+    def _dense_path(self, edges, x, weights, self_mask, deterministic):
+        if self.in_features is None:
+            # Featureless: weights are (R', N, dout); gather rows.
+            agg = spmm_ops.rel_spmm_featureless(edges, weights[:-1])
+            agg = self._reduce(agg)
+            self_msg = weights[-1]  # X = I → node v receives W_self[v]
+        else:
+            agg = spmm_ops.rel_spmm(edges, x, weights[:-1])
+            agg = self._reduce(agg)
+            self_msg = x @ weights[-1]
+        return agg + self._masked_self(self_msg, self_mask, deterministic)
+
+    def _block_path(self, edges, x, self_mask, deterministic):
+        if self.num_blocks <= 0:
+            raise ValueError("block decomposition needs num_blocks > 0")
+        din = self.in_features if self.in_features is not None else self.num_nodes
+        dout = self.out_features
+        if din % self.num_blocks or dout % self.num_blocks:
+            raise ValueError(
+                f"block decomposition needs dims ({din}, {dout}) divisible by "
+                f"num_blocks ({self.num_blocks})"
+            )
+        ib, ob = din // self.num_blocks, dout // self.num_blocks
+        if self.in_features is None:
+            raise NotImplementedError(
+                "featureless block decomposition is unused by the reference "
+                "model family (block LP layers always receive embeddings)"
+            )
+
+        if self.separate_self_weight:
+            # LP layout: blocks for 2R general relations + dense self matrix,
+            # both with the reference's bespoke Schlichtkrull fan
+            # (torch_rgcn/layers.py:375-378,428-436).
+            fan_shape = ((self.num_relations - 1) // 2, ib)
+            blk_init = rinit.schlichtkrull_normal(self._gain(), fan_shape)
+            blocks = self.param(
+                "blocks",
+                blk_init,
+                (self.num_relations - 1, self.num_blocks, ib, ob),
+                self.param_dtype,
+            )
+            self_weight = self.param(
+                "self_weight", blk_init, (din, dout), self.param_dtype
+            )
+            agg = spmm_ops.rel_spmm_block(edges, x, blocks)
+            agg = self._reduce(agg)
+            self_msg = x @ self_weight
+        else:
+            # NC layout: blocks cover all R' relations incl. the self-loop
+            # (torch_rgcn/layers.py:169-170).
+            w_init = rinit.select_weight_init(self.weight_init, self._gain())
+            blocks = self.param(
+                "blocks",
+                w_init,
+                (self.num_relations, self.num_blocks, ib, ob),
+                self.param_dtype,
+            )
+            agg = spmm_ops.rel_spmm_block(edges, x, blocks[:-1])
+            agg = self._reduce(agg)
+            xb = x.reshape(self.num_nodes, self.num_blocks, ib)
+            self_msg = jnp.einsum("nbi,bio->nbo", xb, blocks[-1]).reshape(
+                self.num_nodes, dout
+            )
+        return agg + self._masked_self(self_msg, self_mask, deterministic)
+
+
+class DistMult(nn.Module):
+    """DistMult triple scorer (``torch_rgcn/layers.py:9-98``).
+
+    ``relations`` has shape ``(num_relations, emb_dim)`` — the reference
+    constructs it as ``(indim=nrel, outdim=nemb)`` (``models.py:93``).
+    """
+
+    num_nodes: int
+    num_relations: int  # original relation count R
+    emb_dim: int
+    weight_init: str = "standard-normal"
+    weight_gain: bool = False
+    bias_init: Optional[str] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        gain = rinit.relu_gain() if self.weight_gain else 1.0
+        w_init = rinit.select_weight_init(self.weight_init, gain)
+        self.relations = self.param(
+            "relations", w_init, (self.num_relations, self.emb_dim), self.param_dtype
+        )
+        if self.bias_init is not None:
+            b_init = rinit.select_bias_init(self.bias_init)
+            self.sbias = self.param("sbias", b_init, (self.num_nodes,), self.param_dtype)
+            self.obias = self.param("obias", b_init, (self.num_nodes,), self.param_dtype)
+            self.pbias = self.param("pbias", b_init, (self.num_relations,), self.param_dtype)
+        else:
+            self.sbias = self.obias = self.pbias = None
+
+    def __call__(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
+        return distmult_ops.distmult_score(
+            triples, nodes, self.relations,
+            sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+        )
+
+    def s_penalty(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
+        """Schlichtkrull L2: mean of squares of the embeddings used in the
+        batch (``torch_rgcn/layers.py:77-84``)."""
+        s = triples[..., 0]
+        p = triples[..., 1]
+        o = triples[..., 2]
+        return (
+            jnp.mean(nodes[s] ** 2)
+            + jnp.mean(self.relations[p] ** 2)
+            + jnp.mean(nodes[o] ** 2)
+        )
+
+    def l2_penalty(self) -> jax.Array:
+        """Plain sum-of-squares of the relation matrix
+        (``torch_rgcn/models.py:103``)."""
+        return jnp.sum(self.relations ** 2)
+
+    def score_heads(self, batch: jax.Array, nodes: jax.Array) -> jax.Array:
+        return distmult_ops.score_head_candidates(
+            batch, nodes, self.relations,
+            sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+        )
+
+    def score_tails(self, batch: jax.Array, nodes: jax.Array) -> jax.Array:
+        return distmult_ops.score_tail_candidates(
+            batch, nodes, self.relations,
+            sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+        )
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch ``nn.Linear`` default initialization.
+
+    Used by the c-RGCN bottleneck (``torch_rgcn/models.py:224-225``).
+    """
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        din = x.shape[-1]
+        kernel = self.param(
+            "kernel", rinit.torch_linear_weight(), (din, self.features), self.param_dtype
+        )
+        bias = self.param(
+            "bias", rinit.torch_linear_bias(din), (self.features,), self.param_dtype
+        )
+        return x @ kernel + bias

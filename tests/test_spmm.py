@@ -1,0 +1,115 @@
+"""Numerical tests of the relational SpMM variants against a NumPy oracle.
+
+Oracle semantics (the unified form of the reference's four codepaths,
+``/root/reference/torch_rgcn/layers.py:286-301``):
+
+    out[s] = sum over augmented edges (s, p, o) of X[o] @ W[p] / deg_p(s)
+
+where ``deg_p(s)`` counts augmented edges with subject ``s``, relation ``p``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rgcn_tpu.graph.augment import inverse_triples
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.ops import spmm
+from tests.conftest import make_random_triples
+
+
+def oracle_spmm(triples, num_nodes, num_rels, x, weights):
+    """Direct per-edge accumulation over originals + inverses (no self)."""
+    aug = np.concatenate([triples, inverse_triples(triples, num_rels)], axis=0)
+    from collections import Counter
+
+    deg = Counter((int(p), int(s)) for s, p, _ in aug)
+    out = np.zeros((num_nodes, weights.shape[-1]), dtype=np.float64)
+    for s, p, o in aug:
+        out[s] += x[o] @ weights[p] / deg[(int(p), int(s))]
+    return out
+
+
+@pytest.mark.parametrize("tile_size", [8, 64])
+def test_rel_spmm_matches_oracle(tile_size):
+    rng = np.random.default_rng(3)
+    n, r, din, dout = 25, 4, 6, 5
+    triples = make_random_triples(rng, n, r, 80)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    w = rng.normal(size=(2 * r, din, dout)).astype(np.float32)
+
+    es = build_edge_set(triples, n, r, tile_size=tile_size)
+    got = np.asarray(spmm.rel_spmm(es, jnp.asarray(x), jnp.asarray(w)))
+    want = oracle_spmm(triples, n, r, x, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rel_spmm_featureless_matches_dense():
+    """Featureless == rel_spmm with identity features."""
+    rng = np.random.default_rng(4)
+    n, r, dout = 15, 3, 4
+    triples = make_random_triples(rng, n, r, 40)
+    w = rng.normal(size=(2 * r, n, dout)).astype(np.float32)
+
+    es = build_edge_set(triples, n, r, tile_size=8)
+    got = np.asarray(spmm.rel_spmm_featureless(es, jnp.asarray(w)))
+    eye = np.eye(n, dtype=np.float32)
+    want = np.asarray(spmm.rel_spmm(es, jnp.asarray(eye), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rel_spmm_diag_matches_dense():
+    """Diagonal weights == dense weights with diagonal matrices."""
+    rng = np.random.default_rng(5)
+    n, r, d = 12, 3, 5
+    triples = make_random_triples(rng, n, r, 30)
+    wd = rng.normal(size=(2 * r, d)).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+
+    es = build_edge_set(triples, n, r, tile_size=8)
+    got = np.asarray(spmm.rel_spmm_diag(es, jnp.asarray(x), jnp.asarray(wd)))
+    w_full = np.stack([np.diag(v) for v in wd])
+    want = np.asarray(spmm.rel_spmm(es, jnp.asarray(x), jnp.asarray(w_full)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rel_spmm_block_matches_dense():
+    """Blockwise message computation == expanded block-diagonal weights."""
+    rng = np.random.default_rng(6)
+    n, r = 14, 2
+    nb, ib, ob = 3, 2, 2
+    din, dout = nb * ib, nb * ob
+    triples = make_random_triples(rng, n, r, 35)
+    blocks = rng.normal(size=(2 * r, nb, ib, ob)).astype(np.float32)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+
+    es = build_edge_set(triples, n, r, tile_size=8)
+    got = np.asarray(spmm.rel_spmm_block(es, jnp.asarray(x), jnp.asarray(blocks)))
+
+    w_full = np.zeros((2 * r, din, dout), dtype=np.float32)
+    for rr in range(2 * r):
+        for b in range(nb):
+            w_full[rr, b * ib : (b + 1) * ib, b * ob : (b + 1) * ob] = blocks[rr, b]
+    want = np.asarray(spmm.rel_spmm(es, jnp.asarray(x), jnp.asarray(w_full)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rel_spmm_grad_flows():
+    """Gradients flow through gather + matmul + scatter."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n, r, din, dout = 10, 2, 4, 3
+    triples = make_random_triples(rng, n, r, 20)
+    es = build_edge_set(triples, n, r, tile_size=8)
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2 * r, din, dout)).astype(np.float32))
+
+    def loss(w, x):
+        return jnp.sum(spmm.rel_spmm(es, x, w) ** 2)
+
+    gw, gx = jax.grad(loss, argnums=(0, 1))(w, x)
+    assert np.isfinite(np.asarray(gw)).all()
+    assert np.isfinite(np.asarray(gx)).all()
+    assert float(jnp.abs(gw).sum()) > 0
+    assert float(jnp.abs(gx).sum()) > 0
