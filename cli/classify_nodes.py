@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Node-classification experiment runner.
+
+Equivalent of ``/root/reference/experiments/classify_nodes.py`` (sacred CLI →
+argparse):
+
+    python cli/classify_nodes.py --config configs/rgcn/nc-AIFB.yaml
+
+``--synthetic`` substitutes a generated dataset of comparable scale when the
+real RDF files are absent (this container has no network egress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True, help="YAML experiment config")
+    ap.add_argument("--repeats", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None, help="override epochs")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--run-dir", default=None, help="write metrics.jsonl here")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use a synthetic dataset of comparable scale")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--tile-size", type=int, default=128)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from rgcn_tpu.config import load_experiment, NodeClassificationExperiment
+    from rgcn_tpu.train.node_classification import run_repeats
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    cfg = load_experiment(args.config)
+    if not isinstance(cfg, NodeClassificationExperiment):
+        ap.error(f"{args.config} is not a node-classification config")
+    if args.epochs is not None:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, epochs=args.epochs)
+        )
+    if args.repeats is not None:
+        cfg = dataclasses.replace(cfg, repeats=args.repeats)
+
+    if args.synthetic:
+        from rgcn_tpu.data.synthetic import aifb_like, synthetic_node_classification
+
+        if cfg.dataset.name.lower() == "aifb":
+            data = aifb_like()
+        else:
+            data = synthetic_node_classification(seed=0)
+        print(
+            f"[synthetic] {cfg.dataset.name}-like graph: "
+            f"N={data.num_nodes} R={data.num_relations} E={len(data.triples)}"
+        )
+    else:
+        from rgcn_tpu.data.loaders import load_node_classification
+
+        data = load_node_classification(
+            cfg.dataset.name,
+            final_run=cfg.evaluation.final_run,
+            prune=cfg.dataset.prune,
+            data_root=args.data_root,
+        )
+
+    logger = ScalarLogger(run_dir=args.run_dir, name="node_class")
+    run_repeats(cfg, data, logger=logger, tile_size=args.tile_size)
+
+
+if __name__ == "__main__":
+    main()

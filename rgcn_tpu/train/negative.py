@@ -1,0 +1,61 @@
+"""In-jit negative sampling for link prediction.
+
+Reference: ``/root/reference/utils/misc.py:174-189`` — each positive triple
+is repeated ``ns`` times; per copy a Bernoulli(``head_prob``) coin decides
+whether the head or the tail is replaced by a uniform-random entity. No
+false-negative filtering (faithful to the reference). Runs inside the jitted
+train step with threaded PRNG keys instead of torch's global RNG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["negative_sampling", "corrupt_batch"]
+
+
+def negative_sampling(
+    key: jax.Array,
+    positives: jax.Array,
+    num_nodes: int,
+    num_negatives: int,
+    head_prob: float,
+) -> jax.Array:
+    """Return ``(B * ns, 3)`` corrupted triples for ``(B, 3)`` positives."""
+    bsz = positives.shape[0]
+    k_ent, k_side = jax.random.split(key)
+    expanded = jnp.repeat(positives, num_negatives, axis=0)  # (B*ns, 3)
+    corruptions = jax.random.randint(
+        k_ent, (bsz * num_negatives,), 0, num_nodes, dtype=positives.dtype
+    )
+    corrupt_head = jax.random.bernoulli(
+        k_side, head_prob, (bsz * num_negatives,)
+    )
+    s = jnp.where(corrupt_head, corruptions, expanded[:, 0])
+    o = jnp.where(corrupt_head, expanded[:, 2], corruptions)
+    return jnp.stack([s, expanded[:, 1], o], axis=1)
+
+
+def corrupt_batch(
+    key: jax.Array,
+    positives: jax.Array,
+    num_nodes: int,
+    num_negatives: int,
+    head_prob: float,
+):
+    """Positives ∥ negatives plus binary labels (1=positive, 0=negative),
+
+    matching the batch assembly in ``experiments/predict_links.py:133-140``.
+    """
+    negatives = negative_sampling(
+        key, positives, num_nodes, num_negatives, head_prob
+    )
+    batch = jnp.concatenate([positives, negatives], axis=0)
+    labels = jnp.concatenate(
+        [
+            jnp.ones((positives.shape[0],), jnp.float32),
+            jnp.zeros((negatives.shape[0],), jnp.float32),
+        ]
+    )
+    return batch, labels

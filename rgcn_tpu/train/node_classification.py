@@ -1,0 +1,168 @@
+"""Node-classification training driver.
+
+Reference: ``/root/reference/experiments/classify_nodes.py``. The epoch
+structure (full-batch CE on the train nodes, optional L2 on first-layer
+weights and node embeddings, per-epoch train/test accuracy, ``repeats`` with
+mean ± standard error) is preserved; the execution model is redesigned:
+
+* one ``jit``-compiled update step (loss + grad + optimizer) per epoch —
+  the reference pays Python dispatch per op and rebuilds its sparse
+  adjacency three times per epoch;
+* one extra forward for post-update evaluation (the reference runs two,
+  ``classify_nodes.py:136-139`` — train and test accuracy come from the
+  same logits here).
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rgcn_tpu.config import NodeClassificationExperiment
+from rgcn_tpu.data.loaders import NodeClassificationData
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.models import EmbeddingNodeClassifier, NodeClassifier
+from rgcn_tpu.train.evaluate import accuracy
+from rgcn_tpu.train.optim import make_optimizer
+from rgcn_tpu.utils.logging import ScalarLogger
+
+__all__ = ["build_nc_model", "train_node_classifier", "run_repeats"]
+
+
+def build_nc_model(cfg: NodeClassificationExperiment, data: NodeClassificationData):
+    rg = cfg.rgcn
+    decomp = rg.decomposition
+    common = dict(
+        num_nodes=data.num_nodes,
+        num_relations=data.num_relations,
+        num_classes=data.num_classes,
+        decomposition=decomp.type if decomp else None,
+        num_bases=decomp.num_bases if decomp else 0,
+        num_blocks=decomp.num_blocks if decomp else 0,
+    )
+    if rg.model == "rgcn":
+        return NodeClassifier(
+            hidden_size=rg.hidden_size, num_layers=rg.num_layers, **common
+        )
+    if rg.model == "e-rgcn":
+        return EmbeddingNodeClassifier(emb_dim=rg.node_embeddings, **common)
+    raise NotImplementedError(f"{rg.model!r} model has not been implemented")
+
+
+def train_node_classifier(
+    cfg: NodeClassificationExperiment,
+    data: NodeClassificationData,
+    seed: int = 0,
+    logger: Optional[ScalarLogger] = None,
+    tile_size: int = 128,
+    log_suffix: str = "",
+) -> float:
+    """Train one model; returns final test accuracy (percent)."""
+    logger = logger or ScalarLogger()
+    rg = cfg.rgcn
+
+    edges = build_edge_set(
+        data.triples, data.num_nodes, data.num_relations, tile_size=tile_size
+    )
+    train_idx_np, train_lbl_np = data.index_labels(data.train)
+    test_idx_np, test_lbl_np = data.index_labels(data.test)
+    train_idx = jnp.asarray(train_idx_np)
+    train_lbl = jnp.asarray(train_lbl_np)
+
+    model = build_nc_model(cfg, data)
+    params = model.init(jax.random.key(seed), edges)
+    opt = cfg.training.optimiser
+    tx = make_optimizer(opt.algorithm, opt.learn_rate, opt.weight_decay)
+    opt_state = tx.init(params)
+
+    l1_pen = rg.layer1_l2_penalty
+    emb_pen = rg.node_embedding_l2_penalty
+    if emb_pen > 0.0 and rg.model != "e-rgcn":
+        raise ValueError(
+            f"cannot apply L2-regularisation on node embeddings for "
+            f"{rg.model} model"
+        )
+
+    @jax.jit
+    def step(params, opt_state, edges):
+        def loss_fn(p):
+            logits = model.apply(p, edges)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits[train_idx], train_lbl
+            ).mean()
+            if l1_pen > 0.0:
+                loss = loss + l1_pen * model.layer1_l2(p)
+            if emb_pen > 0.0:
+                loss = loss + emb_pen * model.embedding_l2(p)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def predict(params, edges):
+        return jnp.argmax(model.apply(params, edges), axis=-1)
+
+    epochs = cfg.training.epochs
+    for epoch in range(1, epochs + 1):
+        t1 = time.time()
+        params, opt_state, loss = step(params, opt_state, edges)
+        loss = float(loss)
+        t2 = time.time()
+
+        pred = np.asarray(predict(params, edges))
+        train_acc = accuracy(pred[train_idx_np], train_lbl_np)
+        test_acc = accuracy(pred[test_idx_np], test_lbl_np)
+        t3 = time.time()
+
+        logger.log_scalar(f"training.loss{log_suffix}", loss, step=epoch)
+        logger.log_scalar(f"training.accuracy{log_suffix}", train_acc, step=epoch)
+        logger.log_scalar(f"test.accuracy{log_suffix}", test_acc, step=epoch)
+        logger.info(
+            f"[Epoch {epoch}] Loss: {loss:.5f} Step: {(t2 - t1):.3f}s "
+            f"Eval: {(t3 - t2):.3f}s Train Accuracy: {train_acc:.2f} "
+            f"Test Accuracy: {test_acc:.2f}"
+        )
+
+    pred = np.asarray(predict(params, edges))
+    test_acc = accuracy(pred[test_idx_np], test_lbl_np)
+    logger.log_scalar(f"test.accuracy{log_suffix}", test_acc)
+    logger.info(f"[Evaluation] Test Accuracy: {test_acc:.2f}")
+    return test_acc
+
+
+def run_repeats(
+    cfg: NodeClassificationExperiment,
+    data: NodeClassificationData,
+    logger: Optional[ScalarLogger] = None,
+    tile_size: int = 128,
+) -> Tuple[float, float]:
+    """Repeat training and report mean ± standard error
+    (``classify_nodes.py:159-178``)."""
+    logger = logger or ScalarLogger()
+    accs = []
+    for i in range(1, cfg.repeats + 1):
+        accs.append(
+            train_node_classifier(
+                cfg, data, seed=i, logger=logger, tile_size=tile_size,
+                log_suffix=f"_{i}",
+            )
+        )
+    avg = sum(accs) / len(accs)
+    std = statistics.stdev(accs) if len(accs) > 1 else 0.0
+    ste = std / (len(accs) ** 0.5)
+    logger.log_scalar("test.accuracy", round(avg, 2))
+    logger.log_scalar("test.accuracy_ste", round(ste, 2))
+    logger.info(
+        f"[Summary] Test Accuracy: {avg:.2f} -/+ {ste:.2f}"
+        + (f" ({cfg.repeats} runs)" if cfg.repeats > 1 else "")
+    )
+    return avg, ste

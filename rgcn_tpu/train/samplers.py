@@ -1,0 +1,111 @@
+"""Positive-triple samplers for link-prediction training.
+
+Reference: ``/root/reference/utils/misc.py:112-172``. Two methods:
+
+* ``uniform``: sample ``k`` triples without replacement.
+* ``edge-neighborhood``: the weighted vertex-expansion sampler inherited from
+  the original RelationPrediction code — biased toward edges incident to
+  already-seen vertices, producing a locally dense subgraph.
+
+The reference's edge-neighborhood is a Python loop doing an O(N) categorical
+draw per sampled edge (30k draws × 40k nodes per epoch on WN18) — a
+host-side bottleneck that would dwarf the TPU step. ``edge_neighborhood``
+here is a *chunked* variant of the same process: it draws ``chunk`` edges per
+weight refresh instead of one. The exact per-draw process is available with
+``chunk=1``. Sampling runs on host (NumPy) and overlaps with device compute
+in the training loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["uniform_sampling", "edge_neighborhood", "select_sampler"]
+
+
+def uniform_sampling(
+    triples: np.ndarray, sample_size: int, rng: np.random.Generator
+) -> np.ndarray:
+    idx = rng.choice(len(triples), size=sample_size, replace=False)
+    return triples[idx]
+
+
+def edge_neighborhood(
+    triples: np.ndarray,
+    sample_size: int,
+    rng: np.random.Generator,
+    num_nodes: Optional[int] = None,
+    chunk: int = 128,
+) -> np.ndarray:
+    """Weighted vertex-expansion sampling (``misc.py:125-172``).
+
+    Process: every vertex starts with weight = remaining-degree; only *seen*
+    vertices are eligible (when nothing is seen yet, all non-isolated
+    vertices are); pick a vertex ∝ weight, then one of its unpicked incident
+    edges; mark both endpoints seen and decrement their counts. ``chunk``
+    edges are drawn per weight refresh (chunk=1 reproduces the reference's
+    per-edge refresh exactly).
+    """
+    n_edges = len(triples)
+    if sample_size >= n_edges:
+        return triples.copy()
+    if num_nodes is None:
+        num_nodes = int(triples[:, [0, 2]].max()) + 1
+
+    # incidence: vertex -> edge ids (subject or object, like the reference's
+    # adj_list built from columns 0 and 2)
+    heads, tails = triples[:, 0], triples[:, 2]
+    inc_idx = np.concatenate([heads, tails])
+    inc_edge = np.concatenate([np.arange(n_edges), np.arange(n_edges)])
+    order = np.argsort(inc_idx, kind="stable")
+    inc_idx, inc_edge = inc_idx[order], inc_edge[order]
+    starts = np.searchsorted(inc_idx, np.arange(num_nodes + 1))
+
+    degrees = (starts[1:] - starts[:-1]).astype(np.int64)
+    sample_counts = degrees.copy()
+    seen = np.zeros(num_nodes, dtype=bool)
+    picked = np.zeros(n_edges, dtype=bool)
+
+    chosen: list[int] = []
+    while len(chosen) < sample_size:
+        weights = sample_counts * seen
+        total = weights.sum()
+        if total <= 0:
+            weights = (sample_counts > 0).astype(np.int64)
+            total = weights.sum()
+            if total == 0:
+                break
+        probs = weights / total
+        k = min(chunk, sample_size - len(chosen))
+        verts = rng.choice(num_nodes, size=k, p=probs)
+        for v in verts:
+            lo, hi = starts[v], starts[v + 1]
+            if lo == hi:
+                continue
+            local = inc_edge[lo:hi]
+            avail = local[~picked[local]]
+            if len(avail) == 0:
+                continue
+            e = avail[rng.integers(0, len(avail))]
+            chosen.append(int(e))
+            picked[e] = True
+            seen[v] = True
+            a, b = triples[e, 0], triples[e, 2]
+            sample_counts[a] -= 1
+            sample_counts[b] -= 1
+            seen[a] = seen[b] = True
+            if len(chosen) >= sample_size:
+                break
+
+    return triples[np.array(chosen[:sample_size], dtype=np.int64)]
+
+
+def select_sampler(method: str):
+    method = method.lower()
+    if method == "uniform":
+        return uniform_sampling
+    if method == "edge-neighborhood":
+        return edge_neighborhood
+    raise NotImplementedError(f"{method!r} sampling method has not been implemented")
