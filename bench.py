@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""North-star benchmark: relational SpMM throughput (edges/s/chip) on a
+WN18-shaped workload.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+* Workload: the augmented WN18-scale graph (40,943 nodes, 18 relations,
+  ~141k train triples → ~2E+N ≈ 324k augmented edges), d=200 features, the
+  LP encoder's hot op (reference ``torch_rgcn/layers.py:532-551``).
+* ``value``: edges/s through this framework's relational SpMM (forward) on
+  the current JAX default device (one TPU chip under the driver).
+* ``vs_baseline``: ratio vs the reference implementation's equivalent
+  computation (horizontal-stacked ``einsum`` + ``torch.sparse.mm``) run via
+  torch on this host's CPU — the only device the reference supports here
+  (it has no TPU path; the repo ships no published numbers, see BASELINE.md).
+
+Use ``--quick`` for a smaller graph (CI/smoke), ``--no-baseline`` to skip
+the torch comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_workload(quick: bool = False):
+    from rgcn_tpu.data.synthetic import synthetic_kg
+
+    if quick:
+        num_nodes, num_rels, num_edges, dim = 2_000, 18, 8_000, 64
+    else:
+        num_nodes, num_rels, num_edges, dim = 40_943, 18, 146_500, 200
+    triples = synthetic_kg(num_nodes, num_rels, num_edges, seed=0)
+    return triples, num_nodes, num_rels, dim
+
+
+def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=256):
+    import jax
+    import jax.numpy as jnp
+
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.ops.spmm import rel_spmm
+
+    es = build_edge_set(triples, num_nodes, num_rels, tile_size=tile_size)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(num_nodes, dim)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(np.float32)
+    )
+
+    @jax.jit
+    def op(x, w):
+        # general edges + dense self-loop mixing: the full layer hot path
+        return rel_spmm(es, x, w[:-1]) + x @ w[-1]
+
+    out = op(x, w)
+    out.block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = op(x, w)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    edges_aug = es.num_edges + num_nodes  # general + self-loops
+    return edges_aug / dt, dt, edges_aug
+
+
+def bench_torch_reference(triples, num_nodes, num_rels, dim, iters=2):
+    """Reference-equivalent computation in torch (CPU): horizontal-stacked
+    sparse adjacency times per-relation-transformed features."""
+    import torch
+
+    from rgcn_tpu.graph.augment import augment_triples
+    from rgcn_tpu.graph.structure import edge_normalization
+
+    aug = augment_triples(triples, num_nodes, num_rels)  # [T, inv, self]
+    r_aug = 2 * num_rels + 1
+    dst, rel, src = aug[:, 0], aug[:, 1], aug[:, 2]
+    vals = edge_normalization(rel, dst, num_nodes)
+
+    # horizontal stacking: row = subject, col = rel * N + object
+    rows = torch.from_numpy(dst)
+    cols = torch.from_numpy(rel * num_nodes + src)
+    idx = torch.stack([rows, cols])
+    adj = torch.sparse_coo_tensor(
+        idx,
+        torch.from_numpy(vals),
+        (num_nodes, r_aug * num_nodes),
+    ).coalesce()
+
+    gen = torch.Generator().manual_seed(0)
+    x = torch.randn(num_nodes, dim, generator=gen)
+    w = torch.randn(r_aug, dim, dim, generator=gen)
+
+    def op():
+        fw = torch.einsum("ni,rio->rno", x, w).contiguous()
+        return torch.sparse.mm(adj, fw.view(r_aug * num_nodes, dim))
+
+    op()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = op()
+    dt = (time.perf_counter() - t0) / iters
+    return len(aug) / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--tile-size", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    triples, num_nodes, num_rels, dim = build_workload(args.quick)
+
+    eps, dt, edges_aug = bench_jax(
+        triples, num_nodes, num_rels, dim,
+        iters=args.iters, tile_size=args.tile_size,
+    )
+
+    vs_baseline = 0.0
+    if not args.no_baseline:
+        try:
+            ref_eps, ref_dt = bench_torch_reference(
+                triples, num_nodes, num_rels, dim,
+                iters=(1 if not args.quick else 2),
+            )
+            vs_baseline = eps / ref_eps
+        except Exception:
+            vs_baseline = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "rel_spmm_edges_per_s_per_chip_wn18",
+                "value": round(eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Multi-chip training steps: edge-partitioned encoder + data-parallel decoder.
+
+Pattern (validated numerically against single-device gradients in
+``tests/test_dist.py``): the whole loss/grad computation runs under
+``jax.shard_map`` over a 1-D ``edge`` mesh axis;
+
+* :class:`EdgeSet` arrays are sharded along their tile axis — each device
+  aggregates its local edges; the layer's internal ``lax.psum``
+  (``RGCNConv(axis_name="edge")``) reduces partial node sums over ICI;
+* the scoring batch (positives + negatives) is sharded along the same axis
+  (data parallelism for the decoder);
+* the local loss contribution is ``psum``-reduced *inside* the
+  differentiated function, so every shard differentiates the true global
+  loss — shard_map's AD of ``psum`` then produces exact replicated
+  gradients with no manual gradient collectives.
+
+Parameters and node features are replicated: for relational graphs the edge
+list dominates memory and FLOPs (N·d and R·d² are small next to E·d), so
+edge partitioning is the scaling axis that matters — the analog of the
+reference's missing distribution story (it is strictly single-device,
+``/root/reference/experiments/classify_nodes.py:46-47``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rgcn_tpu.dist.mesh import EDGE_AXIS
+from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+from rgcn_tpu.train.negative import corrupt_batch
+
+__all__ = ["make_sharded_nc_step", "make_sharded_lp_step", "pad_to_multiple"]
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def make_sharded_nc_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    train_idx: jax.Array,
+    train_lbl: jax.Array,
+    layer1_l2: float = 0.0,
+    embedding_l2: float = 0.0,
+    axis_name: str = EDGE_AXIS,
+) -> Callable:
+    """Jitted full-batch node-classification step over an edge-sharded graph.
+
+    ``model`` must be built with ``axis_name=axis_name``. The EdgeSet passed
+    to the returned step must have its tile count divisible by the mesh axis
+    size (``build_edge_set(..., tile_multiple=mesh_size)``).
+    """
+    espec = P(axis_name)
+
+    @jax.jit
+    def step(params, opt_state, edges):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), espec),
+            out_specs=(P(), P()),
+        )
+        def loss_and_grads(params, edges):
+            def loss_fn(p):
+                logits = model.apply(p, edges)  # replicated after layer psum
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits[train_idx], train_lbl
+                ).mean()
+                if layer1_l2 > 0.0:
+                    loss = loss + layer1_l2 * model.layer1_l2(p)
+                if embedding_l2 > 0.0:
+                    loss = loss + embedding_l2 * model.embedding_l2(p)
+                return loss
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        loss, grads = loss_and_grads(params, edges)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_lp_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    num_nodes: int,
+    num_rels: int,
+    tile_size: int,
+    num_negatives: int,
+    head_prob: float,
+    general_dropout: float = 0.0,
+    structural_self_keep: Optional[float] = None,
+    decoder_l2_weight: float = 0.0,
+    axis_name: str = EDGE_AXIS,
+) -> Callable:
+    """Jitted link-prediction step: in-jit graph build + sharded loss/grad.
+
+    The dynamic EdgeSet is built once per step (replicated — it is O(E)
+    integer work), sharded by tiles via ``with_sharding_constraint``-style
+    shard_map specs; the scoring batch is padded to the mesh size and
+    sharded with per-row weights so padding rows contribute zero loss.
+    """
+    n_shards = mesh.shape[axis_name]
+    espec = P(axis_name)
+
+    @jax.jit
+    def step(params, opt_state, positives, key):
+        k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
+        batch, labels = corrupt_batch(
+            k_neg, positives, num_nodes, num_negatives, head_prob
+        )
+        real = batch.shape[0]
+        padded = pad_to_multiple(real, n_shards)
+        weights = jnp.concatenate(
+            [jnp.ones((real,)), jnp.zeros((padded - real,))]
+        )
+        batch = jnp.concatenate(
+            [batch, jnp.zeros((padded - real, 3), batch.dtype)], axis=0
+        )
+        labels = jnp.concatenate([labels, jnp.zeros((padded - real,))])
+
+        edges = build_edge_set_dynamic(
+            positives,
+            num_nodes,
+            num_rels,
+            tile_size=tile_size,
+            dropout_rate=general_dropout,
+            dropout_key=k_drop,
+            tile_multiple=n_shards,
+        )
+        if structural_self_keep is not None:
+            self_mask = jax.random.bernoulli(
+                k_self, structural_self_keep, (num_nodes, 1)
+            ).astype(jnp.float32)
+        else:
+            self_mask = None
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), espec, espec, espec, espec, P(), P()),
+            out_specs=(P(), P()),
+        )
+        def loss_and_grads(params, edges, batch, labels, weights, self_mask, k_sl):
+            def loss_fn(p):
+                scores, penalty = model.apply(
+                    p,
+                    edges,
+                    batch,
+                    self_mask=self_mask,
+                    deterministic=False,
+                    rngs={"dropout": k_sl},
+                )
+                bce = optax.sigmoid_binary_cross_entropy(scores, labels)
+                # local sum over the batch shard; static global count `real`
+                local = jnp.sum(bce * weights) / real
+                local = local + decoder_l2_weight * penalty / n_shards
+                return jax.lax.psum(local, axis_name)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        loss, grads = loss_and_grads(
+            params, edges, batch, labels, weights, self_mask, k_sl
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

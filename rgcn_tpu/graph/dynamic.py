@@ -30,10 +30,19 @@ from rgcn_tpu.graph.structure import EdgeSet
 __all__ = ["padded_size", "build_edge_set_dynamic", "self_loop_keep_mask"]
 
 
-def padded_size(num_edges: int, num_general_rels: int, tile_size: int) -> int:
+def padded_size(
+    num_edges: int,
+    num_general_rels: int,
+    tile_size: int,
+    tile_multiple: int = 1,
+) -> int:
     """Static upper bound on the tile-padded edge count."""
     bound = num_edges + num_general_rels * (tile_size - 1)
-    return ((bound + tile_size - 1) // tile_size) * tile_size
+    out = ((bound + tile_size - 1) // tile_size) * tile_size
+    if tile_multiple > 1:
+        chunk = tile_size * tile_multiple
+        out = ((out + chunk - 1) // chunk) * chunk
+    return out
 
 
 def build_edge_set_dynamic(
@@ -44,6 +53,7 @@ def build_edge_set_dynamic(
     *,
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    tile_multiple: int = 1,
 ) -> EdgeSet:
     """Turn a ``(B, 3)`` positive-triple batch into a padded :class:`EdgeSet`.
 
@@ -54,7 +64,7 @@ def build_edge_set_dynamic(
     bsz = positives.shape[0]
     num_general = 2 * num_rels
     e_raw = 2 * bsz
-    e_pad = padded_size(e_raw, num_general, tile_size)
+    e_pad = padded_size(e_raw, num_general, tile_size, tile_multiple)
     n_tiles = e_pad // tile_size
 
     s = positives[:, 0].astype(jnp.int32)

@@ -141,6 +141,7 @@ def build_edge_set(
     num_rels: int,
     tile_size: int = 128,
     add_inverses: bool = True,
+    tile_multiple: int = 1,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -180,6 +181,10 @@ def build_edge_set(
     e_pad = int(padded.sum())
     if e_pad == 0:
         e_pad = tile_size  # degenerate empty graph still gets one masked tile
+    if tile_multiple > 1:
+        # round the tile count up so the tile axis divides a device mesh
+        chunk = tile_size * tile_multiple
+        e_pad = ((e_pad + chunk - 1) // chunk) * chunk
     pos = offsets[rel] + (np.arange(rel.shape[0]) - starts[rel])
 
     def scatter(values, fill, dtype):

@@ -1,0 +1,144 @@
+"""Multi-chip correctness on a virtual 8-device CPU mesh.
+
+The sharded training steps must be numerically equivalent to the
+single-device computation: same loss, same updated parameters. This is the
+core guarantee behind the edge-partitioned scaling story — sharding is an
+execution detail, never a semantics change.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rgcn_tpu.config import load_experiment
+from rgcn_tpu.dist.mesh import EDGE_AXIS, make_mesh, shard_edge_set
+from rgcn_tpu.dist.train import make_sharded_lp_step, make_sharded_nc_step
+from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.models import LinkPredictor, NodeClassifier
+from rgcn_tpu.train.negative import corrupt_batch
+from rgcn_tpu.train.optim import make_optimizer
+from tests.conftest import make_random_triples
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(N_DEV)
+
+
+def tree_allclose(a, b, rtol=1e-4, atol=1e-5):
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=rtol, atol=atol
+        )
+
+
+def test_sharded_nc_step_matches_single_device(mesh):
+    rng = np.random.default_rng(20)
+    n, r, c = 40, 5, 3
+    triples = make_random_triples(rng, n, r, 150)
+    train_idx = jnp.asarray(rng.choice(n, 12, replace=False))
+    train_lbl = jnp.asarray(rng.integers(0, c, 12))
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, num_classes=c, hidden_size=8,
+        decomposition="basis", num_bases=3,
+    )
+    model_s = NodeClassifier(axis_name=EDGE_AXIS, **kwargs)
+    model_1 = NodeClassifier(**kwargs)
+
+    es_1 = build_edge_set(triples, n, r, tile_size=8)
+    es_s = build_edge_set(triples, n, r, tile_size=8, tile_multiple=N_DEV)
+    es_s = shard_edge_set(es_s, mesh)
+
+    params = model_1.init(jax.random.key(0), es_1)
+    tx = make_optimizer("adam", 0.01)
+    opt_state = tx.init(params)
+
+    # single-device step
+    def loss_1(p):
+        logits = model_1.apply(p, es_1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], train_lbl
+        ).mean() + 0.01 * model_1.layer1_l2(p)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, opt1 = tx.update(grads_ref, opt_state, params)
+    params_ref = optax.apply_updates(params, upd)
+
+    step = make_sharded_nc_step(
+        model_s, tx, mesh, train_idx, train_lbl, layer1_l2=0.01
+    )
+    params_s, _, loss_s = step(params, tx.init(params), es_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+    tree_allclose(params_s, params_ref)
+
+
+def test_sharded_lp_step_matches_single_device(mesh):
+    rng = np.random.default_rng(21)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    bsz, num_neg, tile = 24, 3, 8  # batch*(1+neg) = 96, divisible by 8
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(axis_name=EDGE_AXIS, **kwargs)
+    model_1 = LinkPredictor(**kwargs)
+
+    positives = jnp.asarray(triples[:bsz])
+    init_edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+    params = model_1.init(
+        {"params": jax.random.key(1)}, init_edges, positives
+    )
+    tx = make_optimizer("adam", 0.01)
+
+    key = jax.random.key(7)
+
+    # single-device step (mirrors train.link_prediction.step, no dropout so
+    # mask layouts can't differ between tile paddings)
+    def single_step(params, opt_state, positives, key):
+        k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
+        batch, labels = corrupt_batch(k_neg, positives, n, num_neg, 0.5)
+        edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+
+        def loss_fn(p):
+            scores, penalty = model_1.apply(
+                p, edges, batch, deterministic=True
+            )
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+                + 0.01 * penalty
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params_ref, _, loss_ref = single_step(params, tx.init(params), positives, key)
+
+    step = make_sharded_lp_step(
+        model_s, tx, mesh,
+        num_nodes=n, num_rels=r, tile_size=tile,
+        num_negatives=num_neg, head_prob=0.5,
+        decoder_l2_weight=0.01,
+    )
+    params_s, _, loss_s = step(params, tx.init(params), positives, key)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
