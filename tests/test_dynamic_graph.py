@@ -1,0 +1,88 @@
+"""The in-jit EdgeSet builder must agree with the NumPy preprocessing path,
+and its dropout masking must reproduce remove-the-edge semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgcn_tpu.graph.dynamic import build_edge_set_dynamic, self_loop_keep_mask
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.ops.spmm import rel_spmm
+from tests.conftest import make_random_triples
+
+
+def _spmm_out(es, x, w):
+    return np.asarray(rel_spmm(es, jnp.asarray(x), jnp.asarray(w)))
+
+
+def test_dynamic_matches_static():
+    rng = np.random.default_rng(40)
+    n, r, din, dout = 30, 4, 6, 5
+    triples = make_random_triples(rng, n, r, 80)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    w = rng.normal(size=(2 * r, din, dout)).astype(np.float32)
+
+    es_np = build_edge_set(triples, n, r, tile_size=8)
+    es_dyn = jax.jit(
+        lambda t: build_edge_set_dynamic(t, n, r, tile_size=8)
+    )(jnp.asarray(triples))
+
+    np.testing.assert_allclose(
+        _spmm_out(es_dyn, x, w), _spmm_out(es_np, x, w), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dynamic_tile_multiple_invariant():
+    rng = np.random.default_rng(41)
+    n, r, din, dout = 25, 3, 4, 4
+    triples = make_random_triples(rng, n, r, 50)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    w = rng.normal(size=(2 * r, din, dout)).astype(np.float32)
+
+    a = build_edge_set_dynamic(jnp.asarray(triples), n, r, tile_size=8)
+    b = build_edge_set_dynamic(
+        jnp.asarray(triples), n, r, tile_size=8, tile_multiple=8
+    )
+    assert b.num_tiles % 8 == 0
+    np.testing.assert_allclose(
+        _spmm_out(a, x, w), _spmm_out(b, x, w), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dropout_mask_equals_edge_removal():
+    """Masked edges must be exactly equivalent to physically removing the
+    triples before building the graph (the reference's drop-then-normalize
+    order, ``experiments/predict_links.py:143-148`` →
+    ``torch_rgcn/layers.py:504-510``)."""
+    rng = np.random.default_rng(42)
+    n, r, din, dout = 30, 3, 5, 4
+    triples = make_random_triples(rng, n, r, 60)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    w = rng.normal(size=(2 * r, din, dout)).astype(np.float32)
+
+    key = jax.random.key(5)
+    es_masked = build_edge_set_dynamic(
+        jnp.asarray(triples), n, r, tile_size=8,
+        dropout_rate=0.5, dropout_key=key,
+    )
+    # reconstruct which originals were kept, then build statically from them
+    keep = np.asarray(
+        jax.random.bernoulli(key, 0.5, (len(triples),))
+    )
+    kept = triples[keep]
+    es_removed = build_edge_set(kept, n, r, tile_size=8)
+
+    np.testing.assert_allclose(
+        _spmm_out(es_masked, x, w),
+        _spmm_out(es_removed, x, w),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_self_loop_keep_mask():
+    m = self_loop_keep_mask(None, 5, 0.3)
+    np.testing.assert_array_equal(np.asarray(m), np.ones((5, 1)))
+    m2 = self_loop_keep_mask(jax.random.key(0), 1000, 0.7)
+    frac = float(np.asarray(m2).mean())
+    assert 0.6 < frac < 0.8

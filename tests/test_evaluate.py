@@ -1,0 +1,83 @@
+"""Ranking-evaluation semantics: filtered scores, optimistic rank with
+half-tie correction, MRR/Hits — per the reference contract
+(``/root/reference/utils/misc.py:39-110``)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgcn_tpu.train.evaluate import (
+    build_filters,
+    evaluate_ranking,
+    ranking_metrics,
+    ranks_from_scores,
+)
+
+
+def test_rank_exact_hand_case():
+    # one row: scores [5, 3, 9, 3, 1], target idx 1 (score 3)
+    # #(> 3) = 2 (5, 9); ties = 2 (two 3s) -> rank = 2 + (2-1)//2 + 1 = 3
+    scores = jnp.asarray([[5.0, 3.0, 9.0, 3.0, 1.0]])
+    r = ranks_from_scores(
+        scores,
+        jnp.asarray([1]),
+        jnp.full((1, 1), 2**30, jnp.int32),
+        jnp.asarray([True]),
+    )
+    assert int(r[0]) == 3
+
+
+def test_rank_filtering():
+    # filtering the best competitor promotes the target
+    scores = jnp.asarray([[5.0, 3.0, 9.0, 2.0, 1.0]])
+    filt = jnp.asarray([[2]])  # knock out the 9
+    r = ranks_from_scores(
+        scores, jnp.asarray([1]), filt, jnp.asarray([True])
+    )
+    assert int(r[0]) == 2  # only the 5 remains above
+
+
+def test_build_filters_excludes_target():
+    test = np.array([[0, 0, 1], [2, 0, 1]])
+    all_triples = {(0, 0, 1), (2, 0, 1), (3, 0, 1), (0, 1, 2)}
+    f = build_filters(test, all_triples, num_nodes=5)
+    # head filter for (0,0,1): true heads for (p=0,o=1) are {0,2,3} minus 0
+    row0 = set(f.heads[0].tolist()) - {5}
+    assert row0 == {2, 3}
+    row1 = set(f.heads[1].tolist()) - {5}
+    assert row1 == {0, 3}
+
+
+def test_evaluate_ranking_batching():
+    """Batched path (incl. padded final batch) == direct computation."""
+    rng = np.random.default_rng(60)
+    n, t = 20, 13  # 13 test triples, batch 4 -> ragged final batch
+    z = rng.normal(size=(t, n)).astype(np.float32)
+    test = np.stack(
+        [rng.integers(0, n, t), np.zeros(t, np.int64), rng.integers(0, n, t)],
+        axis=1,
+    )
+    targets = test[:, 0]
+    filters = np.full((t, 1), 2**30, dtype=np.int32)
+
+    lookup = {tuple(row): i for i, row in enumerate(test)}
+
+    def score_fn(batch):
+        b = np.asarray(batch)
+        idx = [lookup.get(tuple(row), 0) for row in b]
+        return jnp.asarray(z[idx])
+
+    ranks = evaluate_ranking(score_fn, test, filters, targets, batch_size=4)
+
+    expect = []
+    for i in range(t):
+        s = z[i]
+        true = s[targets[i]]
+        expect.append(
+            int((s > true).sum()) + (int((s == true).sum()) - 1) // 2 + 1
+        )
+    np.testing.assert_array_equal(ranks, expect)
+
+    mrr, hits = ranking_metrics(ranks)
+    assert 0 < mrr <= 1
+    assert all(0 <= h <= 1 for h in hits)
+    assert hits[0] <= hits[1] <= hits[2]
