@@ -39,8 +39,46 @@ def build_workload(quick: bool = False):
     return triples, num_nodes, num_rels, dim
 
 
-def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=256):
+def _chained_time(op, x, w, iters, reps=4):
+    """Device time per op via chained-dependency loops.
+
+    The tunneled TPU backend acknowledges dispatch before execution
+    completes (``block_until_ready`` is unreliable) and a host↔device fetch
+    costs ~20-25 ms RPC. So: run ``k`` data-dependent iterations inside one
+    jitted program, fetch one scalar, and difference two loop lengths to
+    cancel the constant RPC cost. ``min`` over reps suppresses RPC jitter.
+    """
     import jax
+    import jax.numpy as jnp
+
+    def chain(k):
+        @jax.jit
+        def f(x, w):
+            def body(i, x):
+                out = op(x, w)
+                # full data dependency between iterations, bounded magnitude
+                return x + out.astype(x.dtype) * jnp.asarray(1e-9, x.dtype)
+
+            return jax.lax.fori_loop(0, k, body, x)[0, 0].astype(jnp.float32)
+
+        return f
+
+    def measure(k):
+        f = chain(k)
+        float(f(x, w))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x, w))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    k0, k1 = 2, 2 + iters
+    return (measure(k1) - measure(k0)) / iters
+
+
+def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=256,
+              use_pallas=True, compute_dtype=None):
     import jax.numpy as jnp
 
     from rgcn_tpu.graph.structure import build_edge_set
@@ -48,24 +86,27 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=256):
 
     es = build_edge_set(triples, num_nodes, num_rels, tile_size=tile_size)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(num_nodes, dim)).astype(np.float32))
+    dtype = np.float32
+    x = jnp.asarray(rng.normal(size=(num_nodes, dim)).astype(dtype))
     w = jnp.asarray(
-        rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(np.float32)
+        rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(dtype)
     )
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
 
-    @jax.jit
-    def op(x, w):
-        # general edges + dense self-loop mixing: the full layer hot path
-        return rel_spmm(es, x, w[:-1]) + x @ w[-1]
+    if use_pallas:
+        from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas
 
-    out = op(x, w)
-    out.block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = op(x, w)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        def op(x, w):
+            return rel_spmm_pallas(es, x, w[:-1]) + x @ w[-1]
 
+    else:
+
+        def op(x, w):
+            return rel_spmm(es, x, w[:-1]) + x @ w[-1]
+
+    dt = _chained_time(op, x, w, iters)
     edges_aug = es.num_edges + num_nodes  # general + self-loops
     return edges_aug / dt, dt, edges_aug
 
@@ -116,6 +157,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tile-size", type=int, default=256)
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
+    ap.add_argument(
+        "--variant", default="auto",
+        choices=("auto", "xla", "pallas", "pallas-bf16"),
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -125,10 +170,23 @@ def main():
 
     triples, num_nodes, num_rels, dim = build_workload(args.quick)
 
-    eps, dt, edges_aug = bench_jax(
-        triples, num_nodes, num_rels, dim,
-        iters=args.iters, tile_size=args.tile_size,
-    )
+    def run(variant):
+        import jax.numpy as jnp
+
+        return bench_jax(
+            triples, num_nodes, num_rels, dim,
+            iters=args.iters, tile_size=args.tile_size,
+            use_pallas=variant.startswith("pallas"),
+            compute_dtype=jnp.bfloat16 if variant.endswith("bf16") else None,
+        )
+
+    if args.variant == "auto":
+        try:
+            eps, dt, edges_aug = run("pallas")
+        except Exception:
+            eps, dt, edges_aug = run("xla")
+    else:
+        eps, dt, edges_aug = run(args.variant)
 
     vs_baseline = 0.0
     if not args.no_baseline:

@@ -29,6 +29,8 @@ def main():
                     help="use a synthetic dataset of matching scale")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--tile-size", type=int, default=128)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save/resume params+optimizer state here")
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,7 +76,7 @@ def main():
     logger = ScalarLogger(run_dir=args.run_dir, name="link_pred")
     train_link_predictor(
         cfg, data, logger=logger, tile_size=args.tile_size,
-        max_epochs=args.epochs,
+        max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
     )
 
 

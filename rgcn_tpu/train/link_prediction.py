@@ -129,6 +129,7 @@ def train_link_predictor(
     logger: Optional[ScalarLogger] = None,
     tile_size: int = 128,
     max_epochs: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
     logger = logger or ScalarLogger()
@@ -168,7 +169,6 @@ def train_link_predictor(
     head_prob = ns_cfg.head_prob if ns_cfg else 0.5
 
     sampler = select_sampler(cfg.training.sampling_method)
-    rng = np.random.default_rng(seed)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, positives, key):
@@ -229,22 +229,48 @@ def train_link_predictor(
     opt_state = tx.init(params)
 
     epochs = max_epochs if max_epochs is not None else cfg.training.epochs
-    key = jax.random.key(seed + 2)
+    # Epoch-indexed RNG (fold_in / per-epoch numpy seeds) so checkpoint
+    # resume reproduces the exact key schedule of an uninterrupted run.
+    base_key = jax.random.key(seed + 2)
     filtered_tag = "filtered" if cfg.evaluation.filtered else "raw"
 
+    start_epoch = 1
+    if checkpoint_dir:
+        from rgcn_tpu.utils.checkpoint import restore_checkpoint
+
+        restored, ck_step = restore_checkpoint(
+            checkpoint_dir, {"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = ck_step + 1
+            logger.info(f"resumed from checkpoint at epoch {ck_step}")
+
     mrr, hits, ranks = 0.0, (0.0, 0.0, 0.0), np.array([])
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         if batch_size >= len(train_np):
             positives = train_np
         else:
-            positives = sampler(train_np, batch_size, rng)
-        key, sub = jax.random.split(key)
+            positives = sampler(
+                train_np, batch_size, np.random.default_rng((seed, epoch))
+            )
+        sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(positives), sub
         )
         loss = float(loss)
         t2 = time.time()
+
+        if checkpoint_dir and epoch % cfg.evaluation.check_every == 0:
+            from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state},
+                epoch,
+            )
 
         if epoch % cfg.evaluation.check_every == 0 and epoch != epochs:
             logger.info("Starting evaluation...")
