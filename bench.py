@@ -51,25 +51,25 @@ def _chained_time(op, x, w, iters, reps=4):
     import jax
     import jax.numpy as jnp
 
-    def chain(k):
-        @jax.jit
-        def f(x, w):
-            def body(i, x):
-                out = op(x, w)
-                # full data dependency between iterations, bounded magnitude
-                return x + out.astype(x.dtype) * jnp.asarray(1e-9, x.dtype)
+    @jax.jit
+    def f(x, w, k):
+        # dynamic trip count: ONE compile serves every loop length
+        def body(i, x):
+            out = op(x, w)
+            # full data dependency between iterations, bounded magnitude
+            return x + out.astype(x.dtype) * jnp.asarray(1e-9, x.dtype)
 
-            return jax.lax.fori_loop(0, k, body, x)[0, 0].astype(jnp.float32)
-
-        return f
+        return jax.lax.fori_loop(
+            0, k, body, x, unroll=False
+        )[0, 0].astype(jnp.float32)
 
     def measure(k):
-        f = chain(k)
-        float(f(x, w))  # compile + warm
+        k = jnp.asarray(k, jnp.int32)
+        float(f(x, w, k))  # compile (first call) + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(x, w))
+            float(f(x, w, k))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -68,28 +68,53 @@ def synthetic_node_classification(
     num_edges: int = 3000,
     num_classes: int = 4,
     labeled_frac: float = 0.3,
-    homophily: float = 0.8,
+    signal: float = 0.85,
     seed: int = 0,
 ) -> NodeClassificationData:
-    """KG with planted community structure: nodes get hidden classes and
-    edges connect same-class nodes with probability ``homophily``, so a
-    message-passing classifier can genuinely learn."""
+    """KG with planted relation-typed class structure.
+
+    With probability ``signal`` an edge ``(s, p, o)`` satisfies
+    ``class(o) == (class(s) + p) mod C`` — each relation encodes a fixed
+    class-to-class mapping, exactly the inductive bias a typed
+    message-passing classifier exploits (class is inferable from the typed
+    neighborhood even for unlabeled nodes). Remaining edges are uniform
+    noise.
+    """
     rng = np.random.default_rng(seed)
     classes = rng.integers(0, num_classes, num_nodes)
 
-    s = rng.integers(0, num_nodes, num_edges)
-    same = rng.random(num_edges) < homophily
-    o = np.empty(num_edges, dtype=np.int64)
-    # same-class targets where possible
-    by_class = [np.where(classes == c)[0] for c in range(num_classes)]
-    for i in range(num_edges):
-        pool = by_class[classes[s[i]]] if same[i] else None
-        if pool is not None and len(pool) > 0:
-            o[i] = pool[rng.integers(0, len(pool))]
-        else:
-            o[i] = rng.integers(0, num_nodes)
-    p = rng.integers(0, num_rels, num_edges)
-    triples = np.unique(np.stack([s, p, o], axis=1).astype(np.int64), axis=0)
+    # Attribute-hub structure, mirroring real RDF classification graphs
+    # (e.g. AIFB persons → affiliation resources): per class, a few hub
+    # nodes; entities link to their class's hubs through typed relations.
+    # A featureless R-GCN learns the hubs' evidence from labeled nodes and
+    # classifies unlabeled nodes through the shared hubs (1-hop paths).
+    hubs_per_class = max(1, min(3, num_rels // 2))
+    hub = {}
+    for c in range(num_classes):
+        for k in range(hubs_per_class):
+            hub[(c, k)] = rng.integers(0, num_nodes)
+
+    rows = []
+    for v in range(num_nodes):
+        for k in range(hubs_per_class):
+            if rng.random() < signal:
+                target_class = classes[v]
+            else:
+                target_class = rng.integers(0, num_classes)
+            rows.append((v, k % num_rels, hub[(target_class, k)]))
+
+    # background noise edges up to the requested edge budget
+    n_noise = max(0, num_edges - len(rows))
+    noise = np.stack(
+        [
+            rng.integers(0, num_nodes, n_noise),
+            rng.integers(0, num_rels, n_noise),
+            rng.integers(0, num_nodes, n_noise),
+        ],
+        axis=1,
+    )
+    triples = np.concatenate([np.asarray(rows, dtype=np.int64), noise], axis=0)
+    triples = np.unique(triples, axis=0)
 
     i2n = [f"node{i}" for i in range(num_nodes)]
     i2r = [f"rel{i}" for i in range(num_rels)]
@@ -154,5 +179,5 @@ def aifb_like(seed: int = 0) -> NodeClassificationData:
     """AIFB-scale NC graph: ~8.3k nodes, 45 relations, ~29k triples."""
     return synthetic_node_classification(
         num_nodes=8_285, num_rels=45, num_edges=29_000, num_classes=4,
-        labeled_frac=0.02, seed=seed,
+        labeled_frac=0.05, seed=seed,
     )
