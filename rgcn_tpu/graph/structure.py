@@ -73,6 +73,14 @@ class EdgeSet:
     num_rels: int  # number of *general* relations stored here (2R)
     tile_size: int
     num_edges: int  # real (non-pad) edge count
+    # Optional destination-sorted aggregation layout
+    # (rgcn_tpu.ops.pallas_aggregate.DstLayout) enabling the fully-Pallas
+    # SpMM path; None -> XLA segment_sum aggregation.
+    layout: Optional[object] = None
+    # Optional transposed edge set (src/dst swapped, SAME normalization
+    # values) used by the Pallas SpMM's custom VJP: dX is the same SpMM over
+    # reversed edges with per-relation-transposed weights.
+    reverse: Optional["EdgeSet"] = None
 
     @property
     def num_tiles(self) -> int:
@@ -92,15 +100,17 @@ class EdgeSet:
 if _HAVE_JAX:
 
     def _edgeset_flatten(es: EdgeSet):
-        children = (es.src, es.dst, es.rel, es.val, es.tile_rel)
+        children = (es.src, es.dst, es.rel, es.val, es.tile_rel, es.layout,
+                    es.reverse)
         aux = (es.num_nodes, es.num_rels, es.tile_size, es.num_edges)
         return children, aux
 
     def _edgeset_unflatten(aux, children):
-        src, dst, rel, val, tile_rel = children
+        src, dst, rel, val, tile_rel, layout, reverse = children
         num_nodes, num_rels, tile_size, num_edges = aux
         return EdgeSet(src, dst, rel, val, tile_rel,
-                       num_nodes, num_rels, tile_size, num_edges)
+                       num_nodes, num_rels, tile_size, num_edges, layout,
+                       reverse)
 
     jax.tree_util.register_pytree_node(
         EdgeSet, _edgeset_flatten, _edgeset_unflatten
@@ -142,6 +152,7 @@ def build_edge_set(
     tile_size: int = 128,
     add_inverses: bool = True,
     tile_multiple: int = 1,
+    with_dst_layout: bool = False,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -149,6 +160,9 @@ def build_edge_set(
     edges are generated here (relation ``p + R``), mirroring
     ``add_inverse_and_self`` (``torch_rgcn/utils.py:127-141``) except that
     self-loops are intentionally excluded (handled densely by the layers).
+
+    ``with_dst_layout=True`` additionally attaches the destination-sorted
+    aggregation layout enabling the fully-Pallas SpMM path.
     """
     triples = np.asarray(triples, dtype=np.int64)
     if triples.ndim != 2 or triples.shape[1] != 3:
@@ -172,6 +186,35 @@ def build_edge_set(
 
     val = edge_normalization(rel, dst, num_nodes)
 
+    es = _assemble_edge_set(
+        src, dst, rel, val, num_nodes, num_general, tile_size, tile_multiple,
+        with_dst_layout,
+    )
+    if with_dst_layout:
+        # Transposed copy for the Pallas SpMM's custom VJP: swap src/dst,
+        # KEEP the forward normalization values (they are constants of the
+        # op, not recomputed degrees of the reversed orientation).
+        r_order = np.lexsort((src, rel))
+        rev = _assemble_edge_set(
+            dst[r_order], src[r_order], rel[r_order], val[r_order],
+            num_nodes, num_general, tile_size, tile_multiple, True,
+        )
+        es = dataclasses.replace(es, reverse=rev)
+    return es
+
+
+def _assemble_edge_set(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel: np.ndarray,
+    val: np.ndarray,
+    num_nodes: int,
+    num_general: int,
+    tile_size: int,
+    tile_multiple: int = 1,
+    with_dst_layout: bool = False,
+) -> EdgeSet:
+    """Tile-pad pre-sorted (by relation) edge arrays into an EdgeSet."""
     # Pad each relation segment to a multiple of tile_size.
     counts = np.bincount(rel, minlength=num_general)
     padded = np.maximum(np.ceil(counts / tile_size).astype(np.int64), 0) * tile_size
@@ -204,6 +247,12 @@ def build_edge_set(
     tile_rel = np.minimum(tile_rel, max(num_general - 1, 0)).astype(np.int32)
     rel_p = np.repeat(tile_rel, tile_size).astype(np.int32)
 
+    layout = None
+    if with_dst_layout:
+        from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+        layout = build_dst_layout(dst_p, num_nodes)
+
     return EdgeSet(
         src=src_p,
         dst=dst_p,
@@ -213,5 +262,6 @@ def build_edge_set(
         num_nodes=int(num_nodes),
         num_rels=int(num_general),
         tile_size=int(tile_size),
-        num_edges=int(triples.shape[0]),
+        num_edges=int(src.shape[0]),
+        layout=layout,
     )

@@ -84,6 +84,9 @@ class RGCNConv(nn.Module):
     self_loop_dropout: float = 0.0
     axis_name: Optional[str] = None
     param_dtype: jnp.dtype = jnp.float32
+    # 'auto' uses the fully-Pallas SpMM when the EdgeSet carries a
+    # destination layout (static graphs); 'xla' forces the portable path.
+    backend: str = "auto"
 
     def _gain(self) -> float:
         return rinit.relu_gain() if self.weight_gain else 1.0
@@ -178,7 +181,23 @@ class RGCNConv(nn.Module):
             agg = self._reduce(agg)
             self_msg = weights[-1]  # X = I → node v receives W_self[v]
         else:
-            agg = spmm_ops.rel_spmm(edges, x, weights[:-1])
+            use_pallas = (
+                edges.layout is not None
+                and edges.reverse is not None
+                and (
+                    self.backend == "pallas"
+                    or (
+                        self.backend == "auto"
+                        and jax.default_backend() in ("tpu", "axon")
+                    )
+                )
+            )
+            if use_pallas:
+                from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_ad
+
+                agg = rel_spmm_pallas_ad(edges, x, weights[:-1])
+            else:
+                agg = spmm_ops.rel_spmm(edges, x, weights[:-1])
             agg = self._reduce(agg)
             self_msg = x @ weights[-1]
         return agg + self._masked_self(self_msg, self_mask, deterministic)

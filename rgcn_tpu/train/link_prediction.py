@@ -208,8 +208,12 @@ def train_link_predictor(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # Static full-graph EdgeSet for evaluation (built once).
-    eval_edges = build_edge_set(train_np, num_nodes, num_rels, tile_size=tile_size)
+    # Static full-graph EdgeSet for evaluation (built once); the destination
+    # layout turns on the Pallas aggregation path on TPU.
+    eval_edges = build_edge_set(
+        train_np, num_nodes, num_rels, tile_size=tile_size,
+        with_dst_layout=True,
+    )
     filters = (
         build_filters(test_np, data.all_triples, num_nodes)
         if cfg.evaluation.filtered

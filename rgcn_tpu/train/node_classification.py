@@ -67,8 +67,11 @@ def train_node_classifier(
     logger = logger or ScalarLogger()
     rg = cfg.rgcn
 
+    # with_dst_layout enables the fully-Pallas SpMM (auto-selected on TPU;
+    # the featureful layers train through its custom VJP)
     edges = build_edge_set(
-        data.triples, data.num_nodes, data.num_relations, tile_size=tile_size
+        data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
+        with_dst_layout=True,
     )
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)
