@@ -77,31 +77,39 @@ def _chained_time(op, x, w, iters, reps=4):
     return (measure(k1) - measure(k0)) / iters
 
 
-def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=256,
+def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
               use_pallas=True, compute_dtype=None):
     import jax.numpy as jnp
 
     from rgcn_tpu.graph.structure import build_edge_set
     from rgcn_tpu.ops.spmm import rel_spmm
 
-    es = build_edge_set(triples, num_nodes, num_rels, tile_size=tile_size)
+    es = build_edge_set(
+        triples, num_nodes, num_rels, tile_size=tile_size,
+        with_dst_layout=use_pallas,
+    )
     rng = np.random.default_rng(0)
     dtype = np.float32
     x = jnp.asarray(rng.normal(size=(num_nodes, dim)).astype(dtype))
     w = jnp.asarray(
         rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(dtype)
     )
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
 
     if use_pallas:
-        from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas
+        from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_full
 
         def op(x, w):
-            return rel_spmm_pallas(es, x, w[:-1]) + x @ w[-1]
+            return (
+                rel_spmm_pallas_full(
+                    es, es.layout, x, w[:-1], compute_dtype=compute_dtype
+                )
+                + x @ w[-1]
+            )
 
     else:
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
 
         def op(x, w):
             return rel_spmm(es, x, w[:-1]) + x @ w[-1]
@@ -155,7 +163,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--tile-size", type=int, default=256)
+    ap.add_argument("--tile-size", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
     ap.add_argument(
         "--variant", default="auto",
@@ -181,10 +189,15 @@ def main():
         )
 
     if args.variant == "auto":
-        try:
-            eps, dt, edges_aug = run("pallas")
-        except Exception:
-            eps, dt, edges_aug = run("xla")
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            eps, dt, edges_aug = run("xla")  # no compiled Pallas off-TPU
+        else:
+            try:
+                eps, dt, edges_aug = run("pallas-bf16")
+            except Exception:
+                eps, dt, edges_aug = run("xla")
     else:
         eps, dt, edges_aug = run(args.variant)
 

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from rgcn_tpu.graph.structure import EdgeSet
 
-__all__ = ["padded_size", "build_edge_set_dynamic", "self_loop_keep_mask"]
+__all__ = [
+    "padded_size",
+    "build_edge_set_dynamic",
+    "build_dst_layout_dynamic",
+    "self_loop_keep_mask",
+]
 
 
 def padded_size(
@@ -54,6 +59,8 @@ def build_edge_set_dynamic(
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
     tile_multiple: int = 1,
+    with_dst_layout: bool = False,
+    row_block: int = 256,
 ) -> EdgeSet:
     """Turn a ``(B, 3)`` positive-triple batch into a padded :class:`EdgeSet`.
 
@@ -118,7 +125,7 @@ def build_edge_set_dynamic(
     tile_rel = jnp.minimum(tile_rel, num_general - 1).astype(jnp.int32)
     rel_p = jnp.repeat(tile_rel, tile_size)
 
-    return EdgeSet(
+    es = EdgeSet(
         src=src_p,
         dst=dst_p,
         rel=rel_p,
@@ -128,6 +135,120 @@ def build_edge_set_dynamic(
         num_rels=int(num_general),
         tile_size=int(tile_size),
         num_edges=int(e_raw),
+    )
+    if with_dst_layout:
+        import dataclasses
+
+        layout = build_dst_layout_dynamic(
+            dst_p, num_nodes, row_block=row_block, chunk=tile_size
+        )
+        rev = _reverse_edge_set_dynamic(es, row_block, tile_size)
+        es = dataclasses.replace(es, layout=layout, reverse=rev)
+    return es
+
+
+def build_dst_layout_dynamic(
+    dst: jax.Array,
+    num_nodes: int,
+    row_block: int = 256,
+    chunk: int = 256,
+):
+    """In-jit destination-sorted aggregation layout (see
+    :class:`rgcn_tpu.ops.pallas_aggregate.DstLayout` for semantics).
+
+    ``dst`` is the padded per-edge destination array of an :class:`EdgeSet`
+    (pads carry ``dst == num_nodes``). All output shapes depend only on
+    ``len(dst)``, ``num_nodes``, ``row_block`` and ``chunk``.
+    """
+    from rgcn_tpu.ops.pallas_aggregate import DstLayout
+
+    e_pad = dst.shape[0]
+    num_row_blocks = -(-num_nodes // row_block)
+    # every block gets >= 1 chunk; each can waste at most chunk-1 slots
+    total = num_row_blocks * chunk + ((e_pad + chunk - 1) // chunk) * chunk
+    n_chunks = total // chunk
+
+    order = jnp.argsort(dst)  # pads (== num_nodes) sort last
+    dst_sorted = dst[order]
+    real = dst_sorted < num_nodes
+    block_of = jnp.minimum(dst_sorted // row_block, num_row_blocks - 1)
+
+    counts = jax.ops.segment_sum(
+        real.astype(jnp.int32), block_of, num_segments=num_row_blocks
+    )
+    padded = jnp.maximum((counts + chunk - 1) // chunk, 1) * chunk
+    cum_padded = jnp.cumsum(padded)
+    offsets = cum_padded - padded
+    cum_counts = jnp.cumsum(counts)
+    starts = cum_counts - counts
+
+    rank = jnp.arange(e_pad, dtype=jnp.int32) - starts[block_of]
+    pos = jnp.where(real, offsets[block_of] + rank, total)  # pads dropped
+
+    perm = jnp.full((total,), e_pad, jnp.int32).at[pos].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    local = jnp.full((total,), row_block, jnp.int32).at[pos].set(
+        (dst_sorted - block_of * row_block).astype(jnp.int32), mode="drop"
+    )
+
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    chunk_block = jnp.searchsorted(cum_padded, chunk_starts, side="right")
+    chunk_block = jnp.minimum(chunk_block, num_row_blocks - 1).astype(jnp.int32)
+
+    return DstLayout(
+        perm=perm,
+        local_dst=local.reshape(n_chunks, chunk),
+        chunk_block=chunk_block,
+        num_row_blocks=int(num_row_blocks),
+        row_block=int(row_block),
+        chunk=int(chunk),
+    )
+
+
+def _reverse_edge_set_dynamic(es: EdgeSet, row_block: int, chunk: int) -> EdgeSet:
+    """Transpose an in-jit EdgeSet (swap src/dst, KEEP values) and re-tile by
+    (relation, new receiver). Pad slots keep val == 0 and ride along."""
+    e_pad = es.src.shape[0]
+    num_general = es.num_rels
+    n = es.num_nodes
+    tile = es.tile_size
+
+    new_dst, new_src = es.src, es.dst
+    rel, val = es.rel, es.val
+
+    sort_key = rel.astype(jnp.int64) * (n + 1) + new_dst.astype(jnp.int64)
+    order = jnp.argsort(sort_key)
+    new_src, new_dst = new_src[order], new_dst[order]
+    rel, val = rel[order], val[order]
+
+    # pads already occupy slots; relation buckets only need rounding
+    counts = jax.ops.segment_sum(
+        jnp.ones((e_pad,), jnp.int32), rel, num_segments=num_general
+    )
+    padded = ((counts + tile - 1) // tile) * tile
+    e_rev = padded_size(e_pad, num_general, tile)
+    cum_padded = jnp.cumsum(padded)
+    offsets = cum_padded - padded
+    cum_counts = jnp.cumsum(counts)
+    starts = cum_counts - counts
+    pos = offsets[rel] + (jnp.arange(e_pad, dtype=jnp.int32) - starts[rel])
+
+    src_p = jnp.zeros((e_rev,), jnp.int32).at[pos].set(new_src)
+    dst_p = jnp.full((e_rev,), n, jnp.int32).at[pos].set(new_dst)
+    val_p = jnp.zeros((e_rev,), jnp.float32).at[pos].set(val)
+
+    n_tiles = e_rev // tile
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    tile_rel = jnp.searchsorted(cum_padded, tile_starts, side="right")
+    tile_rel = jnp.minimum(tile_rel, num_general - 1).astype(jnp.int32)
+    rel_p = jnp.repeat(tile_rel, tile)
+
+    layout = build_dst_layout_dynamic(dst_p, n, row_block, chunk)
+    return EdgeSet(
+        src=src_p, dst=dst_p, rel=rel_p, val=val_p, tile_rel=tile_rel,
+        num_nodes=n, num_rels=num_general, tile_size=tile,
+        num_edges=es.num_edges, layout=layout,
     )
 
 

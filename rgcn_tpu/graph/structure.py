@@ -153,6 +153,7 @@ def build_edge_set(
     add_inverses: bool = True,
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
+    prefer_native: bool = True,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -163,10 +164,25 @@ def build_edge_set(
 
     ``with_dst_layout=True`` additionally attaches the destination-sorted
     aggregation layout enabling the fully-Pallas SpMM path.
+
+    When the native (C++/OpenMP) builder is compiled (``make -C native``) it
+    handles the sort/normalize/tile pipeline — bit-identical output, ~30x
+    faster on large graphs. Set ``prefer_native=False`` to force NumPy.
     """
     triples = np.asarray(triples, dtype=np.int64)
     if triples.ndim != 2 or triples.shape[1] != 3:
         raise ValueError(f"triples must be (E, 3), got {triples.shape}")
+
+    if prefer_native and add_inverses:
+        from rgcn_tpu.graph import native as _native
+
+        if _native.native_available():
+            es = _native.build_edge_set_native(
+                triples, num_nodes, num_rels, tile_size=tile_size,
+                tile_multiple=tile_multiple, with_dst_layout=with_dst_layout,
+            )
+            if es is not None:
+                return es
 
     if add_inverses:
         triples = np.concatenate(

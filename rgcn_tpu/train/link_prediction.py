@@ -130,6 +130,7 @@ def train_link_predictor(
     tile_size: int = 128,
     max_epochs: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    pallas_train_step: Optional[bool] = None,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
     logger = logger or ScalarLogger()
@@ -170,6 +171,11 @@ def train_link_predictor(
 
     sampler = select_sampler(cfg.training.sampling_method)
 
+    # Per-step graphs can carry the Pallas destination layout too (built
+    # in-jit); defaults to on for TPU backends, off elsewhere.
+    if pallas_train_step is None:
+        pallas_train_step = jax.default_backend() in ("tpu", "axon")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, positives, key):
         k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
@@ -183,6 +189,7 @@ def train_link_predictor(
             tile_size=tile_size,
             dropout_rate=general_dropout,
             dropout_key=k_drop,
+            with_dst_layout=pallas_train_step,
         )
         if structural_self:
             self_mask = jax.random.bernoulli(

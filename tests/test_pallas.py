@@ -97,6 +97,44 @@ def test_layer_pallas_backend_matches_xla():
     )
 
 
+def test_dynamic_layout_pallas_matches_xla():
+    """In-jit layout + reverse (LP training path) == XLA, incl. gradients."""
+    import jax
+
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+    from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_ad
+
+    rng = np.random.default_rng(55)
+    n, r, d = 40, 3, 8
+    triples = make_random_triples(rng, n, r, 120)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2 * r, d, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    es = jax.jit(
+        lambda t: build_edge_set_dynamic(
+            t, n, r, tile_size=8, with_dst_layout=True, row_block=8
+        )
+    )(jnp.asarray(triples))
+
+    want = np.asarray(rel_spmm(es, x, w))
+    got = np.asarray(rel_spmm_pallas_ad(es, x, w))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_p(x, w):
+        return jnp.sum((rel_spmm_pallas_ad(es, x, w) - tgt) ** 2)
+
+    def loss_x(x, w):
+        return jnp.sum((rel_spmm(es, x, w) - tgt) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, w)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_pallas_spmm_bf16_close():
     rng = np.random.default_rng(51)
     n, r, d = 32, 3, 16
