@@ -21,7 +21,17 @@ __all__ = [
     "inverse_triples",
     "self_loop_triples",
     "augment_triples",
+    "split_spo",
 ]
+
+
+def split_spo(triples):
+    """Split a ``(..., 3)`` triple tensor into (subject, predicate, object).
+
+    Works on NumPy or JAX arrays, any batch rank (reference
+    ``torch_rgcn/utils.py:201-206`` supported 2-D and 3-D only).
+    """
+    return triples[..., 0], triples[..., 1], triples[..., 2]
 
 
 def inverse_triples(triples: np.ndarray, num_rels: int) -> np.ndarray:

@@ -28,12 +28,25 @@ import numpy as np
 
 __all__ = [
     "RankingFilters",
+    "generate_true_dict",
     "build_filters",
     "ranks_from_scores",
     "evaluate_ranking",
     "ranking_metrics",
     "accuracy",
 ]
+
+
+def generate_true_dict(all_triples):
+    """``(p, o) -> [s]`` and ``(s, p) -> [o]`` maps over all true triples
+    (reference ``utils/misc.py:29-37``); :func:`build_filters` consumes the
+    same information in padded-tensor form for the TPU path."""
+    heads: Dict[Tuple[int, int], List[int]] = {}
+    tails: Dict[Tuple[int, int], List[int]] = {}
+    for s, p, o in all_triples:
+        heads.setdefault((int(p), int(o)), []).append(int(s))
+        tails.setdefault((int(s), int(p)), []).append(int(o))
+    return heads, tails
 
 
 @dataclass(frozen=True)
