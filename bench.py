@@ -27,6 +27,10 @@ import time
 
 import numpy as np
 
+from rgcn_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def build_workload(quick: bool = False):
     from rgcn_tpu.data.synthetic import synthetic_kg
@@ -39,7 +43,7 @@ def build_workload(quick: bool = False):
     return triples, num_nodes, num_rels, dim
 
 
-def _chained_time(op, x, w, iters, reps=4):
+def _chained_time(op, x, w, iters, reps=3):
     """Device time per op via chained-dependency loops.
 
     The tunneled TPU backend acknowledges dispatch before execution
@@ -162,7 +166,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--tile-size", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
     ap.add_argument(

@@ -18,6 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from rgcn_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
