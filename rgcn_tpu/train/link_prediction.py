@@ -228,13 +228,11 @@ def train_link_predictor(
     )
 
     init_pos = jnp.asarray(train_np[:batch_size])
-    init_edges_key = jax.random.key(seed)
     params = model.init(
         {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
         build_edge_set_dynamic(init_pos, num_nodes, num_rels, tile_size=tile_size),
         init_pos,
     )
-    del init_edges_key
     opt = cfg.training.optimiser
     tx = make_optimizer(opt.algorithm, opt.learn_rate, opt.weight_decay)
     opt_state = tx.init(params)
