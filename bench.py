@@ -44,36 +44,36 @@ def build_workload(quick: bool = False):
 
 
 def _chained_time(op, x, w, iters, reps=3):
-    """Device time per op via chained-dependency loops.
+    """Device time per op via data-dependent async call chains.
 
     The tunneled TPU backend acknowledges dispatch before execution
     completes (``block_until_ready`` is unreliable) and a host↔device fetch
-    costs ~20-25 ms RPC. So: run ``k`` data-dependent iterations inside one
-    jitted program, fetch one scalar, and difference two loop lengths to
-    cancel the constant RPC cost. ``min`` over reps suppresses RPC jitter.
+    costs ~20-25 ms RPC, while *compiles* through the remote-compile path
+    take minutes and are not reliably cached. So: compile ONLY the bare op
+    (wrapped with a dependency-carrying epilogue), enqueue ``k``
+    data-dependent calls on the async stream, fetch one scalar (true sync),
+    and difference two chain lengths to cancel the constant RPC cost.
+    ``min`` over reps suppresses RPC jitter.
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def f(x, w, k):
-        # dynamic trip count: ONE compile serves every loop length
-        def body(i, x):
-            out = op(x, w)
-            # full data dependency between iterations, bounded magnitude
-            return x + out.astype(x.dtype) * jnp.asarray(1e-9, x.dtype)
-
-        return jax.lax.fori_loop(
-            0, k, body, x, unroll=False
-        )[0, 0].astype(jnp.float32)
+    def step(x, w):
+        out = op(x, w)
+        # full data dependency between chained calls, bounded magnitude
+        return x + out.astype(x.dtype) * jnp.asarray(1e-9, x.dtype)
 
     def measure(k):
-        k = jnp.asarray(k, jnp.int32)
-        float(f(x, w, k))  # compile (first call) + warm
+        y = step(x, w)  # compile + warm
+        float(y[0, 0])
         ts = []
         for _ in range(reps):
+            y = x
             t0 = time.perf_counter()
-            float(f(x, w, k))
+            for _ in range(k):
+                y = step(y, w)
+            float(y[0, 0])
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -207,14 +207,41 @@ def main():
 
     vs_baseline = 0.0
     if not args.no_baseline:
-        try:
-            ref_eps, ref_dt = bench_torch_reference(
-                triples, num_nodes, num_rels, dim,
-                iters=(1 if not args.quick else 2),
-            )
+        # The torch-CPU reference measurement is deterministic for a fixed
+        # workload and costs minutes at full size — cache it on disk so
+        # repeated driver runs pay once.
+        import os
+
+        cache_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f".bench_baseline{'_quick' if args.quick else ''}.json",
+        )
+        ref_eps = None
+        if os.path.exists(cache_file):
+            try:
+                with open(cache_file) as f:
+                    ref_eps = json.load(f)["ref_edges_per_s"]
+            except Exception:
+                ref_eps = None
+        if ref_eps is None:
+            try:
+                ref_eps, ref_dt = bench_torch_reference(
+                    triples, num_nodes, num_rels, dim,
+                    iters=(1 if not args.quick else 2),
+                )
+                with open(cache_file, "w") as f:
+                    json.dump(
+                        {
+                            "ref_edges_per_s": ref_eps,
+                            "what": "torch-CPU reference-equivalent "
+                                    "rel-SpMM on the same workload",
+                        },
+                        f,
+                    )
+            except Exception:
+                ref_eps = None
+        if ref_eps:
             vs_baseline = eps / ref_eps
-        except Exception:
-            vs_baseline = 0.0
 
     print(
         json.dumps(
