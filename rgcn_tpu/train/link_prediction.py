@@ -83,6 +83,22 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int, num_rels: int)
     raise NotImplementedError(f"{enc.model!r} encoder has not been implemented")
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_fns(model):
+    """Jitted encode/score functions, cached per model so repeated
+    evaluations during training reuse one compilation (fresh ``jax.jit``
+    wrappers per call would recompile every eval — minutes on this
+    backend). flax modules are frozen dataclasses, hence hashable."""
+    encode = jax.jit(lambda p, edges: model.apply(p, edges, method=model.encode))
+    score_h = jax.jit(
+        lambda p, z, batch: model.apply(p, batch, z, method=model.score_heads)
+    )
+    score_t = jax.jit(
+        lambda p, z, batch: model.apply(p, batch, z, method=model.score_tails)
+    )
+    return encode, score_h, score_t
+
+
 def evaluate_link_predictor(
     model,
     params,
@@ -94,16 +110,14 @@ def evaluate_link_predictor(
     """Filtered/raw MRR and Hits@{1,3,10} over head and tail prediction."""
     num_test = len(test)
 
-    z = jax.jit(
-        lambda p: model.apply(p, eval_edges, method=model.encode)
-    )(params)
+    encode, score_h, score_t = _eval_fns(model)
+    z = encode(params, eval_edges)
 
-    score_heads = jax.jit(
-        lambda batch: model.apply(params, batch, z, method=model.score_heads)
-    )
-    score_tails = jax.jit(
-        lambda batch: model.apply(params, batch, z, method=model.score_tails)
-    )
+    def score_heads(batch):
+        return score_h(params, z, batch)
+
+    def score_tails(batch):
+        return score_t(params, z, batch)
 
     if filters is not None:
         head_filt, tail_filt = filters.heads, filters.tails
