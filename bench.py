@@ -99,7 +99,24 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(dtype)
     )
 
-    if use_pallas:
+    if use_pallas == "fused":
+        import jax.numpy as jnp
+
+        from rgcn_tpu.ops.pallas_fused import (
+            build_fused_layout,
+            rel_spmm_fused,
+        )
+
+        fl = build_fused_layout(es, row_block=1024, chunk=512, quantum=64)
+
+        def op(x, w):
+            return (
+                rel_spmm_fused(fl, num_nodes, x, w[:-1],
+                               compute_dtype=compute_dtype)
+                + x @ w[-1].astype(compute_dtype or w.dtype)
+            )
+
+    elif use_pallas:
         from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_full
 
         def op(x, w):
@@ -171,7 +188,7 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
     ap.add_argument(
         "--variant", default="auto",
-        choices=("auto", "xla", "pallas", "pallas-bf16"),
+        choices=("auto", "xla", "pallas", "pallas-bf16", "fused-bf16"),
     )
     args = ap.parse_args()
 
@@ -185,10 +202,16 @@ def main():
     def run(variant):
         import jax.numpy as jnp
 
+        if variant.startswith("fused"):
+            pallas = "fused"
+        elif variant.startswith("pallas"):
+            pallas = True
+        else:
+            pallas = False
         return bench_jax(
             triples, num_nodes, num_rels, dim,
             iters=args.iters, tile_size=args.tile_size,
-            use_pallas=variant.startswith("pallas"),
+            use_pallas=pallas,
             compute_dtype=jnp.bfloat16 if variant.endswith("bf16") else None,
         )
 
@@ -198,10 +221,12 @@ def main():
         if jax.default_backend() not in ("tpu", "axon"):
             eps, dt, edges_aug = run("xla")  # no compiled Pallas off-TPU
         else:
-            try:
-                eps, dt, edges_aug = run("pallas-bf16")
-            except Exception:
-                eps, dt, edges_aug = run("xla")
+            for variant in ("fused-bf16", "pallas-bf16", "xla"):
+                try:
+                    eps, dt, edges_aug = run(variant)
+                    break
+                except Exception:
+                    continue
     else:
         eps, dt, edges_aug = run(args.variant)
 
