@@ -107,7 +107,9 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
             rel_spmm_fused,
         )
 
-        fl = build_fused_layout(es, row_block=1024, chunk=512, quantum=64)
+        # swept optimum on the WN18 workload (see STATUS.md): smaller
+        # quanta cut run padding; one-hot flops scale with row_block
+        fl = build_fused_layout(es, row_block=512, chunk=512, quantum=16)
 
         def op(x, w):
             return (

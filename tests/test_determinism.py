@@ -56,6 +56,52 @@ def test_nc_training_reproducible():
     assert acc1 == acc2
 
 
+def test_lp_training_loss_decreases():
+    """The full in-jit LP train step actually learns (loss drops >40% over
+    30 full-batch epochs on a small graph)."""
+    import jax.numpy as jnp
+    import optax
+
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+    from rgcn_tpu.models import LinkPredictor
+    from rgcn_tpu.train.negative import corrupt_batch
+    from rgcn_tpu.train.optim import make_optimizer
+
+    data = synthetic_link_prediction(num_nodes=60, num_rels=4, num_edges=300)
+    n, r = data.num_nodes, data.num_relations
+    pos = jnp.asarray(data.train[:64])
+
+    model = LinkPredictor(
+        num_nodes=n, num_relations=r, emb_dim=16, hidden1_size=16,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+    )
+    edges0 = build_edge_set_dynamic(pos, n, r, tile_size=8)
+    params = model.init({"params": jax.random.key(0)}, edges0, pos)
+    tx = make_optimizer("adam", 0.01)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        batch, labels = corrupt_batch(key, pos, n, 4, 0.5)
+        edges = build_edge_set_dynamic(pos, n, r, tile_size=8)
+
+        def loss_fn(p):
+            scores, _ = model.apply(p, edges, batch)
+            return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for e in range(30):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(jax.random.key(1), e)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
 def test_lp_training_reproducible():
     cfg = load_experiment(
         {
