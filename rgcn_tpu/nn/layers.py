@@ -139,8 +139,20 @@ class RGCNConv(nn.Module):
             comps = self.param(
                 "comps", w_init, (r_aug, self.num_bases), self.param_dtype
             )
-            weights = jnp.einsum("rb,bio->rio", comps, bases)
-            out = self._dense_path(edges, x, weights, self_mask, deterministic)
+            if self.in_features is None:
+                # Never expand comps @ bases to (R', N, dout) — gigabytes on
+                # many-relation graphs (AM); contract per tile instead.
+                agg = spmm_ops.rel_spmm_featureless_basis(
+                    edges, bases, comps[:-1]
+                )
+                agg = self._reduce(agg)
+                self_msg = jnp.einsum("b,bio->io", comps[-1], bases)
+                out = agg + self._masked_self(self_msg, self_mask, deterministic)
+            else:
+                weights = jnp.einsum("rb,bio->rio", comps, bases)
+                out = self._dense_path(
+                    edges, x, weights, self_mask, deterministic
+                )
         elif self.decomposition == "block":
             out = self._block_path(edges, x, self_mask, deterministic)
         else:

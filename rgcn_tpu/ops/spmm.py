@@ -42,6 +42,7 @@ __all__ = [
     "rel_spmm_diag",
     "rel_spmm_block",
     "rel_spmm_featureless",
+    "rel_spmm_featureless_basis",
 ]
 
 
@@ -149,4 +150,41 @@ def rel_spmm_featureless(
     flat = weights.reshape(num_rels * n_rows, dout)
     idx = edges.rel.astype(jnp.int32) * n_rows + edges.src
     msgs = flat[idx] * edges.val[:, None]
+    return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+
+
+def rel_spmm_featureless_basis(
+    edges: EdgeSet,
+    bases: jax.Array,
+    comps: jax.Array,
+    *,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jax.Array:
+    """Featureless SpMM under basis decomposition, without expansion.
+
+    The naive route materializes ``W = comps @ bases`` of shape
+    ``(R', N, dout)`` — gigabytes for many-relation RDF graphs (AM: ~533
+    relations × ~300k nodes). Since
+    ``W[r][n] = Σ_b comps[r, b] · bases[b][n]``, the per-edge message is a
+    per-relation *contraction* of the gathered basis rows:
+
+        msgs = einsum('tebo,tb->teo', bases[:, src]​tiles, comps[tile_rel])
+
+    memory: ``O(nb · N · dout)`` for the bases (what the parameters already
+    cost) plus one tile of gathered rows — never ``O(R' · N · dout)``.
+
+    Args:
+      bases: ``(num_bases, N, dout)``; comps: ``(num_general_rels, num_bases)``
+      (general relations only — the self row is handled by the caller).
+    """
+    tile = edges.tile_size
+    n_tiles = edges.num_tiles
+    nb, n_rows, dout = bases.shape
+
+    # (nb, N, dout) -> (N, nb, dout) rows so one gather serves all bases
+    rows = jnp.swapaxes(bases, 0, 1)[edges.src]  # (E_pad, nb, dout)
+    rows = rows.reshape(n_tiles, tile, nb, dout)
+    c_t = comps[edges.tile_rel]  # (n_tiles, nb)
+    msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
+    msgs = msgs.reshape(n_tiles * tile, dout) * edges.val[:, None]
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)

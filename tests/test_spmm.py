@@ -113,3 +113,22 @@ def test_rel_spmm_grad_flows():
     assert np.isfinite(np.asarray(gx)).all()
     assert float(jnp.abs(gw).sum()) > 0
     assert float(jnp.abs(gx).sum()) > 0
+
+
+def test_featureless_basis_no_expansion_matches():
+    """Per-tile basis contraction == expanded-weights featureless path."""
+    rng = np.random.default_rng(8)
+    n, r, nb, dout = 20, 4, 3, 5
+    triples = make_random_triples(rng, n, r, 50)
+    bases = rng.normal(size=(nb, n, dout)).astype(np.float32)
+    comps = rng.normal(size=(2 * r, nb)).astype(np.float32)
+
+    es = build_edge_set(triples, n, r, tile_size=8)
+    got = np.asarray(
+        spmm.rel_spmm_featureless_basis(
+            es, jnp.asarray(bases), jnp.asarray(comps)
+        )
+    )
+    w_full = np.einsum("rb,bio->rio", comps, bases)
+    want = np.asarray(spmm.rel_spmm_featureless(es, jnp.asarray(w_full)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
