@@ -119,7 +119,9 @@ class RGCNConv(nn.Module):
             weights = self.param(
                 "weights", w_init, (r_aug, din), self.param_dtype
             )
-            agg = spmm_ops.rel_spmm_diag(edges, x, weights[:-1])
+            agg = spmm_ops.rel_spmm_diag(
+                edges, x, weights[:-1], aggregate=self._aggregate_fn(edges)
+            )
             agg = self._reduce(agg)
             self_msg = x * weights[-1]
             out = agg + self._masked_self(self_msg, self_mask, deterministic)
@@ -143,7 +145,8 @@ class RGCNConv(nn.Module):
                 # Never expand comps @ bases to (R', N, dout) — gigabytes on
                 # many-relation graphs (AM); contract per tile instead.
                 agg = spmm_ops.rel_spmm_featureless_basis(
-                    edges, bases, comps[:-1]
+                    edges, bases, comps[:-1],
+                    aggregate=self._aggregate_fn(edges),
                 )
                 agg = self._reduce(agg)
                 self_msg = jnp.einsum("b,bio->io", comps[-1], bases)
@@ -167,6 +170,25 @@ class RGCNConv(nn.Module):
         return out
 
     # ----------------------------------------------------------------------
+    def _use_pallas(self, edges: EdgeSet) -> bool:
+        return edges.layout is not None and (
+            self.backend == "pallas"
+            or (
+                self.backend == "auto"
+                and jax.default_backend() in ("tpu", "axon")
+            )
+        )
+
+    def _aggregate_fn(self, edges: EdgeSet):
+        """Destination-reduction override for message-only SpMM variants:
+        the differentiable Pallas sorted aggregation when a layout exists,
+        XLA segment_sum otherwise."""
+        if not self._use_pallas(edges):
+            return None
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
+
+        return aggregate_messages_ad
+
     def _reduce(self, agg: jax.Array) -> jax.Array:
         if self.axis_name is not None:
             agg = jax.lax.psum(agg, self.axis_name)
@@ -189,22 +211,13 @@ class RGCNConv(nn.Module):
     def _dense_path(self, edges, x, weights, self_mask, deterministic):
         if self.in_features is None:
             # Featureless: weights are (R', N, dout); gather rows.
-            agg = spmm_ops.rel_spmm_featureless(edges, weights[:-1])
+            agg = spmm_ops.rel_spmm_featureless(
+                edges, weights[:-1], aggregate=self._aggregate_fn(edges)
+            )
             agg = self._reduce(agg)
             self_msg = weights[-1]  # X = I → node v receives W_self[v]
         else:
-            use_pallas = (
-                edges.layout is not None
-                and edges.reverse is not None
-                and (
-                    self.backend == "pallas"
-                    or (
-                        self.backend == "auto"
-                        and jax.default_backend() in ("tpu", "axon")
-                    )
-                )
-            )
-            if use_pallas:
+            if self._use_pallas(edges) and edges.reverse is not None:
                 from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_ad
 
                 agg = rel_spmm_pallas_ad(edges, x, weights[:-1])
@@ -246,7 +259,9 @@ class RGCNConv(nn.Module):
             self_weight = self.param(
                 "self_weight", blk_init, (din, dout), self.param_dtype
             )
-            agg = spmm_ops.rel_spmm_block(edges, x, blocks)
+            agg = spmm_ops.rel_spmm_block(
+                edges, x, blocks, aggregate=self._aggregate_fn(edges)
+            )
             agg = self._reduce(agg)
             self_msg = x @ self_weight
         else:
@@ -259,7 +274,9 @@ class RGCNConv(nn.Module):
                 (self.num_relations, self.num_blocks, ib, ob),
                 self.param_dtype,
             )
-            agg = spmm_ops.rel_spmm_block(edges, x, blocks[:-1])
+            agg = spmm_ops.rel_spmm_block(
+                edges, x, blocks[:-1], aggregate=self._aggregate_fn(edges)
+            )
             agg = self._reduce(agg)
             xb = x.reshape(self.num_nodes, self.num_blocks, ib)
             self_msg = jnp.einsum("nbi,bio->nbo", xb, blocks[-1]).reshape(

@@ -24,6 +24,7 @@ the bandwidth floor for this operation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -32,7 +33,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["DstLayout", "build_dst_layout", "aggregate_sorted_pallas"]
+__all__ = [
+    "DstLayout",
+    "build_dst_layout",
+    "aggregate_sorted_pallas",
+    "aggregate_messages_ad",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,7 +161,7 @@ def aggregate_sorted_pallas(
     num_nodes: int,
     *,
     out_dtype: jnp.dtype = jnp.float32,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Aggregate per-edge ``messages (E, dout)`` into ``(num_nodes, dout)``.
 
@@ -164,6 +170,8 @@ def aggregate_sorted_pallas(
     message row ``E`` — callers must NOT rely on clamping; we append an
     explicit zero row instead.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     dout = messages.shape[-1]
     ch = layout.chunk
     rb = layout.row_block
@@ -208,3 +216,40 @@ def aggregate_sorted_pallas(
     )(layout.chunk_block, layout.local_dst.reshape(n_chunks, 1, ch), msgs_sorted)
 
     return out[:num_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: aggregation is linear, so the VJP of
+# ``out[d] = Σ_{e: dst_e = d} messages[e]`` is simply ``g[dst_e]`` — a
+# hardware-native gather (pads clamp harmlessly; their cotangent is unused).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _agg_ad(messages, dst, layout, num_nodes):
+    return aggregate_sorted_pallas(messages, layout, num_nodes)
+
+
+def _agg_ad_fwd(messages, dst, layout, num_nodes):
+    return _agg_ad(messages, dst, layout, num_nodes), (dst, messages.dtype)
+
+
+def _agg_ad_bwd(num_nodes, res, g):
+    del num_nodes
+    dst, dtype = res
+    return g[dst].astype(dtype), None, None
+
+
+_agg_ad.defvjp(_agg_ad_fwd, _agg_ad_bwd)
+
+
+def aggregate_messages_ad(messages, edges):
+    """Differentiable Pallas aggregation over an EdgeSet's dst layout.
+
+    Drop-in for :func:`rgcn_tpu.ops.spmm.aggregate_messages` when
+    ``edges.layout`` exists (the gather-based backward works because
+    aggregation is a plain segment sum of already-scaled messages).
+    """
+    if edges.layout is None:
+        raise ValueError("EdgeSet has no destination layout")
+    return _agg_ad(messages, edges.dst, edges.layout, edges.num_nodes)

@@ -91,15 +91,21 @@ def rel_spmm_diag(
     edges: EdgeSet,
     x: jax.Array,
     diag_weights: jax.Array,
+    *,
+    aggregate=None,
 ) -> jax.Array:
     """Diagonal-weight relational SpMM (e-RGCN first layer).
 
     ``diag_weights``: ``(num_rels, d)`` per-relation weight *vectors*; the
     message is an elementwise product, matching the reference's
     ``einsum('ij,kj->kij')`` diagonal path (``torch_rgcn/layers.py:289-292``).
+    ``aggregate(msgs, edges)`` overrides the destination reduction (e.g. the
+    Pallas sorted aggregation); default is XLA ``segment_sum``.
     """
     msgs = x[edges.src] * diag_weights[edges.rel]
     msgs = msgs * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
 
 
@@ -109,6 +115,7 @@ def rel_spmm_block(
     blocks: jax.Array,
     *,
     precision: Optional[jax.lax.Precision] = None,
+    aggregate=None,
 ) -> jax.Array:
     """Block-diagonal-weight relational SpMM.
 
@@ -129,12 +136,16 @@ def rel_spmm_block(
     msgs = jnp.einsum("tnbi,tbio->tnbo", xg, b_t, precision=precision)
     msgs = msgs.reshape(n_tiles * tile, num_blocks * out_block)
     msgs = msgs * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
 
 
 def rel_spmm_featureless(
     edges: EdgeSet,
     weights: jax.Array,
+    *,
+    aggregate=None,
 ) -> jax.Array:
     """Featureless relational SpMM (one-hot identity features).
 
@@ -150,6 +161,8 @@ def rel_spmm_featureless(
     flat = weights.reshape(num_rels * n_rows, dout)
     idx = edges.rel.astype(jnp.int32) * n_rows + edges.src
     msgs = flat[idx] * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
 
 
@@ -159,6 +172,7 @@ def rel_spmm_featureless_basis(
     comps: jax.Array,
     *,
     precision: Optional[jax.lax.Precision] = None,
+    aggregate=None,
 ) -> jax.Array:
     """Featureless SpMM under basis decomposition, without expansion.
 
@@ -187,4 +201,6 @@ def rel_spmm_featureless_basis(
     c_t = comps[edges.tile_rel]  # (n_tiles, nb)
     msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
     msgs = msgs.reshape(n_tiles * tile, dout) * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
