@@ -24,7 +24,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rgcn_tpu.graph.structure import EdgeSet
 
-__all__ = ["EDGE_AXIS", "make_mesh", "shard_edge_set"]
+__all__ = [
+    "EDGE_AXIS",
+    "make_mesh",
+    "shard_edge_set",
+    "prepare_sharded_layouts",
+]
 
 EDGE_AXIS = "edge"
 
@@ -74,3 +79,56 @@ def shard_edge_set(edges: EdgeSet, mesh: Mesh, axis_name: str = EDGE_AXIS) -> Ed
         tile_size=edges.tile_size,
         num_edges=edges.num_edges,
     )
+
+
+def prepare_sharded_layouts(
+    edges: EdgeSet,
+    mesh: Mesh,
+    axis_name: str = EDGE_AXIS,
+    row_block: int = 256,
+) -> EdgeSet:
+    """Attach per-shard Pallas destination layouts to a sharded EdgeSet.
+
+    Each device builds the layout + reversed structure for its *local* edge
+    slice (the in-jit builders from :mod:`rgcn_tpu.graph.dynamic`, uniform
+    static shapes across shards), so the sharded training steps can run the
+    Pallas SpMM per shard before the cross-shard ``psum``. Runs once per
+    graph; outputs stay sharded along the mesh axis.
+
+    Note: pallas_call under shard_map currently requires ``check_vma=False``
+    (no vma metadata on kernel outputs), which is safe here (pure
+    preprocessing, no AD) and for inference-only forwards — but NOT for
+    differentiated shard_maps, where disabling vma tracking breaks the
+    automatic gradient reduction. Sharded *training* therefore uses the XLA
+    path inside shard_map; sharded Pallas training needs vma plumbing
+    (round-2 item).
+    """
+    import dataclasses
+    import functools
+
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from rgcn_tpu.graph.dynamic import (
+        _reverse_edge_set_dynamic,
+        build_dst_layout_dynamic,
+    )
+
+    spec = P(axis_name)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False
+    )
+    def build(es_local: EdgeSet) -> EdgeSet:
+        layout = build_dst_layout_dynamic(
+            es_local.dst, es_local.num_nodes,
+            row_block=row_block, chunk=es_local.tile_size,
+        )
+        rev = _reverse_edge_set_dynamic(
+            es_local, row_block, es_local.tile_size
+        )
+        return dataclasses.replace(es_local, layout=layout, reverse=rev)
+
+    return build(edges)

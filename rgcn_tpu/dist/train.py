@@ -12,7 +12,10 @@ Pattern (validated numerically against single-device gradients in
 * the local loss contribution is ``psum``-reduced *inside* the
   differentiated function, so every shard differentiates the true global
   loss — shard_map's AD of ``psum`` then produces exact replicated
-  gradients with no manual gradient collectives.
+  gradients with no manual gradient collectives. This depends on
+  shard_map's varying-mesh-axes tracking: do NOT set ``check_vma=False``
+  on these steps (it silently drops the automatic gradient reduction for
+  replicated inputs — found the hard way; see tests/test_dist.py).
 
 Parameters and node features are replicated: for relational graphs the edge
 list dominates memory and FLOPs (N·d and R·d² are small next to E·d), so

@@ -231,13 +231,15 @@ def _agg_ad(messages, dst, layout, num_nodes):
 
 
 def _agg_ad_fwd(messages, dst, layout, num_nodes):
-    return _agg_ad(messages, dst, layout, num_nodes), (dst, messages.dtype)
+    # dtype carried as a zero-size array (a bare dtype is not a pytree leaf)
+    proto = jnp.zeros((0,), messages.dtype)
+    return _agg_ad(messages, dst, layout, num_nodes), (dst, proto)
 
 
 def _agg_ad_bwd(num_nodes, res, g):
     del num_nodes
-    dst, dtype = res
-    return g[dst].astype(dtype), None, None
+    dst, proto = res
+    return g[dst].astype(proto.dtype), None, None
 
 
 _agg_ad.defvjp(_agg_ad_fwd, _agg_ad_bwd)
