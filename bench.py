@@ -27,10 +27,6 @@ import time
 
 import numpy as np
 
-from rgcn_tpu.utils.compile_cache import enable as _enable_compile_cache
-
-_enable_compile_cache()
-
 
 def build_workload(quick: bool = False):
     from rgcn_tpu.data.synthetic import synthetic_kg
@@ -198,6 +194,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from rgcn_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
 
     triples, num_nodes, num_rels, dim = build_workload(args.quick)
 

@@ -18,10 +18,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from rgcn_tpu.utils.compile_cache import enable as _enable_compile_cache
-
-_enable_compile_cache()
-
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
@@ -40,6 +36,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache (minutes-slow remote compiles); CPU runs
+        # skip it — cached CPU AOT artifacts can carry mismatched machine
+        # features
+        from rgcn_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
 
     import dataclasses
 
