@@ -166,5 +166,10 @@ def build_edge_set_native(
             r_val[r_order],
             num_nodes, num_general, tile_size, tile_multiple, True,
         )
-        es = dataclasses.replace(es, layout=layout, reverse=rev)
+        from rgcn_tpu.ops.pallas_fused import build_fused_layout
+
+        rev = dataclasses.replace(rev, fused=build_fused_layout(rev))
+        es = dataclasses.replace(
+            es, layout=layout, reverse=rev, fused=build_fused_layout(es)
+        )
     return es

@@ -81,6 +81,9 @@ class EdgeSet:
     # values) used by the Pallas SpMM's custom VJP: dX is the same SpMM over
     # reversed edges with per-relation-transposed weights.
     reverse: Optional["EdgeSet"] = None
+    # Optional single-pass fused-kernel layout
+    # (rgcn_tpu.ops.pallas_fused.FusedLayout); host-built graphs only.
+    fused: Optional[object] = None
 
     @property
     def num_tiles(self) -> int:
@@ -101,16 +104,16 @@ if _HAVE_JAX:
 
     def _edgeset_flatten(es: EdgeSet):
         children = (es.src, es.dst, es.rel, es.val, es.tile_rel, es.layout,
-                    es.reverse)
+                    es.reverse, es.fused)
         aux = (es.num_nodes, es.num_rels, es.tile_size, es.num_edges)
         return children, aux
 
     def _edgeset_unflatten(aux, children):
-        src, dst, rel, val, tile_rel, layout, reverse = children
+        src, dst, rel, val, tile_rel, layout, reverse, fused = children
         num_nodes, num_rels, tile_size, num_edges = aux
         return EdgeSet(src, dst, rel, val, tile_rel,
                        num_nodes, num_rels, tile_size, num_edges, layout,
-                       reverse)
+                       reverse, fused)
 
     jax.tree_util.register_pytree_node(
         EdgeSet, _edgeset_flatten, _edgeset_unflatten
@@ -207,6 +210,8 @@ def build_edge_set(
         with_dst_layout,
     )
     if with_dst_layout:
+        from rgcn_tpu.ops.pallas_fused import build_fused_layout
+
         # Transposed copy for the Pallas SpMM's custom VJP: swap src/dst,
         # KEEP the forward normalization values (they are constants of the
         # op, not recomputed degrees of the reversed orientation).
@@ -215,7 +220,10 @@ def build_edge_set(
             dst[r_order], src[r_order], rel[r_order], val[r_order],
             num_nodes, num_general, tile_size, tile_multiple, True,
         )
-        es = dataclasses.replace(es, reverse=rev)
+        rev = dataclasses.replace(rev, fused=build_fused_layout(rev))
+        es = dataclasses.replace(
+            es, reverse=rev, fused=build_fused_layout(es)
+        )
     return es
 
 

@@ -212,9 +212,28 @@ def rel_spmm_pallas_full(
 # ``build_edge_set(..., with_dst_layout=True)`` as ``edges.reverse``.
 
 
+_FUSED_VMEM_BUDGET = 8 * 1024 * 1024  # resident-weight budget (bytes)
+
+
+def _fwd_spmm(edges, x, weights):
+    """Best available Pallas forward: the single-pass fused kernel when its
+    layout exists and the weights fit the VMEM residency budget, else the
+    two-stage pipeline."""
+    if (
+        edges.fused is not None
+        and weights.size * weights.dtype.itemsize <= _FUSED_VMEM_BUDGET
+    ):
+        from rgcn_tpu.ops.pallas_fused import rel_spmm_fused
+
+        return rel_spmm_fused(
+            edges.fused, edges.num_nodes, x, weights, compute_dtype=None
+        )
+    return rel_spmm_pallas_full(edges, edges.layout, x, weights)
+
+
 @jax.custom_vjp
 def _spmm_ad_core(x, weights, edges):
-    return rel_spmm_pallas_full(edges, edges.layout, x, weights)
+    return _fwd_spmm(edges, x, weights)
 
 
 def _spmm_ad_fwd(x, weights, edges):
@@ -227,7 +246,7 @@ def _spmm_ad_bwd(res, g):
     g = g.astype(x.dtype)
 
     w_t = jnp.swapaxes(weights, 1, 2)
-    dx = rel_spmm_pallas_full(rev, rev.layout, g, w_t).astype(x.dtype)
+    dx = _fwd_spmm(rev, g, w_t).astype(x.dtype)
 
     tile, nt = edges.tile_size, edges.num_tiles
     xg = x[edges.src].reshape(nt, tile, -1)
