@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--tile-size", type=int, default=128)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save/resume params+optimizer state here")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="save cadence in epochs (default: eval check_every)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -84,6 +86,7 @@ def main():
     train_link_predictor(
         cfg, data, logger=logger, tile_size=args.tile_size,
         max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
     )
 
 

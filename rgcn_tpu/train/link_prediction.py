@@ -144,6 +144,7 @@ def train_link_predictor(
     tile_size: int = 128,
     max_epochs: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
     pallas_train_step: Optional[bool] = None,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
@@ -286,7 +287,8 @@ def train_link_predictor(
         loss = float(loss)
         t2 = time.time()
 
-        if checkpoint_dir and epoch % cfg.evaluation.check_every == 0:
+        ck_every = checkpoint_every or cfg.evaluation.check_every
+        if checkpoint_dir and epoch % ck_every == 0:
             from rgcn_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(
