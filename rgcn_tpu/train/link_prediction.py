@@ -271,19 +271,25 @@ def train_link_predictor(
             start_epoch = ck_step + 1
             logger.info(f"resumed from checkpoint at epoch {ck_step}")
 
+    def sample_epoch(epoch):
+        if batch_size >= len(train_np):
+            return train_np
+        return sampler(
+            train_np, batch_size, np.random.default_rng((seed, epoch))
+        )
+
     mrr, hits, ranks = 0.0, (0.0, 0.0, 0.0), np.array([])
+    positives = sample_epoch(start_epoch)
     for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
-        if batch_size >= len(train_np):
-            positives = train_np
-        else:
-            positives = sampler(
-                train_np, batch_size, np.random.default_rng((seed, epoch))
-            )
         sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(positives), sub
         )
+        # sample the NEXT epoch's subgraph while the device executes this
+        # step (dispatch is async; the loss fetch below is the sync point)
+        if epoch < epochs:
+            positives = sample_epoch(epoch + 1)
         loss = float(loss)
         t2 = time.time()
 

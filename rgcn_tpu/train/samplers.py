@@ -37,7 +37,7 @@ def edge_neighborhood(
     sample_size: int,
     rng: np.random.Generator,
     num_nodes: Optional[int] = None,
-    chunk: int = 128,
+    chunk: int = 1024,
 ) -> np.ndarray:
     """Weighted vertex-expansion sampling (``misc.py:125-172``).
 
