@@ -68,8 +68,9 @@ def edge_neighborhood(
     seen = np.zeros(num_nodes, dtype=bool)
     picked = np.zeros(n_edges, dtype=bool)
 
-    chosen: list[int] = []
-    while len(chosen) < sample_size:
+    chosen: list[np.ndarray] = []
+    n_chosen = 0
+    while n_chosen < sample_size:
         weights = sample_counts * seen
         total = weights.sum()
         if total <= 0:
@@ -78,28 +79,36 @@ def edge_neighborhood(
             if total == 0:
                 break
         probs = weights / total
-        k = min(chunk, sample_size - len(chosen))
+        k = min(chunk, sample_size - n_chosen)
         verts = rng.choice(num_nodes, size=k, p=probs)
-        for v in verts:
-            lo, hi = starts[v], starts[v + 1]
-            if lo == hi:
-                continue
-            local = inc_edge[lo:hi]
-            avail = local[~picked[local]]
-            if len(avail) == 0:
-                continue
-            e = avail[rng.integers(0, len(avail))]
-            chosen.append(int(e))
-            picked[e] = True
-            seen[v] = True
-            a, b = triples[e, 0], triples[e, 2]
-            sample_counts[a] -= 1
-            sample_counts[b] -= 1
-            seen[a] = seen[b] = True
-            if len(chosen) >= sample_size:
-                break
 
-    return triples[np.array(chosen[:sample_size], dtype=np.int64)]
+        # Vectorized edge pick: one random incident edge per chosen vertex;
+        # already-picked edges and within-chunk duplicates are dropped (the
+        # outer loop makes up the shortfall). The reference retries per
+        # vertex instead — an equally heuristic tie-break.
+        deg_v = starts[verts + 1] - starts[verts]
+        valid = deg_v > 0
+        verts = verts[valid]
+        deg_v = deg_v[valid]
+        offs = (rng.random(len(verts)) * deg_v).astype(np.int64)
+        picks = inc_edge[starts[verts] + offs]
+        picks = picks[~picked[picks]]
+        picks = np.unique(picks)
+        if len(picks) > sample_size - n_chosen:
+            picks = picks[: sample_size - n_chosen]
+        if len(picks):
+            picked[picks] = True
+            chosen.append(picks)
+            n_chosen += len(picks)
+            a, b = triples[picks, 0], triples[picks, 2]
+            np.subtract.at(sample_counts, a, 1)
+            np.subtract.at(sample_counts, b, 1)
+            seen[a] = True
+            seen[b] = True
+        seen[verts] = True
+
+    out = np.concatenate(chosen) if chosen else np.empty(0, np.int64)
+    return triples[out[:sample_size].astype(np.int64)]
 
 
 def select_sampler(method: str):
