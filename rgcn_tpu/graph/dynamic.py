@@ -139,11 +139,23 @@ def build_edge_set_dynamic(
     if with_dst_layout:
         import dataclasses
 
+        from rgcn_tpu.ops.pallas_fused import build_fused_layout_dynamic
+
         layout = build_dst_layout_dynamic(
             dst_p, num_nodes, row_block=row_block, chunk=tile_size
         )
         rev = _reverse_edge_set_dynamic(es, row_block, tile_size)
-        es = dataclasses.replace(es, layout=layout, reverse=rev)
+        q = min(16, tile_size)
+        fused = build_fused_layout_dynamic(
+            es, row_block=row_block, chunk=tile_size, quantum=q
+        )
+        rev = dataclasses.replace(
+            rev,
+            fused=build_fused_layout_dynamic(
+                rev, row_block=row_block, chunk=tile_size, quantum=q
+            ),
+        )
+        es = dataclasses.replace(es, layout=layout, reverse=rev, fused=fused)
     return es
 
 

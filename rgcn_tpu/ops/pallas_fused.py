@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rgcn_tpu.graph.structure import EdgeSet
 
-__all__ = ["FusedLayout", "build_fused_layout", "rel_spmm_fused"]
+__all__ = [
+    "FusedLayout",
+    "build_fused_layout",
+    "build_fused_layout_dynamic",
+    "rel_spmm_fused",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +165,138 @@ def build_fused_layout(
         val=val_f,
         local_dst=local.reshape(n_chunks, chunk),
         quantum_rel=qrel,
+        chunk_block=chunk_block,
+        num_row_blocks=int(num_row_blocks),
+        row_block=int(row_block),
+        chunk=int(chunk),
+        quantum=int(quantum),
+    )
+
+
+def build_fused_layout_dynamic(
+    edges: EdgeSet,
+    row_block: int = 512,
+    chunk: int = 512,
+    quantum: int = 16,
+) -> FusedLayout:
+    """In-jit (traceable) fused-layout construction for per-step graphs.
+
+    Same contract as :func:`build_fused_layout`, expressed as fixed-shape
+    JAX ops (sort, run-length detection, segment reductions, scatters).
+    Static sizes derive from bounds: runs ≤ min(E_pad, row_blocks · R);
+    total ≤ E_pad + runs·(Q-1) rounded into chunk-padded row blocks.
+    """
+    import jax
+
+    src = edges.src
+    dst = edges.dst
+    rel = edges.rel
+    val = edges.val
+    n = edges.num_nodes
+    num_general = edges.num_rels
+    e_pad = src.shape[0]
+    num_row_blocks = -(-n // row_block)
+    qpc = chunk // quantum
+    if chunk % quantum:
+        raise ValueError("chunk must be a multiple of quantum")
+    del qpc
+
+    b_runs = min(e_pad, num_row_blocks * num_general)
+    total = (
+        e_pad
+        + b_runs * (quantum - 1)
+        + num_row_blocks * chunk  # per-block chunk rounding + min-1-chunk
+    )
+    total = -(-total // chunk) * chunk
+    n_chunks = total // chunk
+    n_quanta = total // quantum
+
+    real = val > 0
+    rb_of = jnp.minimum(dst // row_block, num_row_blocks - 1)
+    # (rb, rel) key fits int32 comfortably (row_blocks * relations)
+    big = jnp.int32(num_row_blocks * (num_general + 1) + num_general)
+    key = jnp.where(
+        real,
+        rb_of.astype(jnp.int32) * (num_general + 1) + rel,
+        big,
+    )
+    order = jnp.argsort(key)
+    key_s = key[order]
+    src_s, dst_s = src[order], dst[order]
+    val_s, real_s = val[order], real[order]
+    rb_s = rb_of[order]
+    rel_s = rel[order]
+
+    pos_idx = jnp.arange(e_pad, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (key_s[1:] != key_s[:-1]).astype(jnp.int32)]
+    )
+    run_id = jnp.minimum(jnp.cumsum(is_new) - 1, b_runs - 1)
+
+    real_i = real_s.astype(jnp.int32)
+    run_len = jax.ops.segment_sum(real_i, run_id, num_segments=b_runs)
+    neg = jnp.full((e_pad,), -1, jnp.int32)
+    run_rel = jax.ops.segment_max(
+        jnp.where(real_s, rel_s, neg), run_id, num_segments=b_runs
+    )
+    run_rel = jnp.clip(run_rel, 0, num_general - 1)
+    run_rb = jax.ops.segment_max(
+        jnp.where(real_s, rb_s.astype(jnp.int32), neg), run_id,
+        num_segments=b_runs,
+    )
+    run_rb = jnp.clip(run_rb, 0, num_row_blocks - 1)
+    run_pad = -(-run_len // quantum) * quantum
+
+    blk_tot = jax.ops.segment_sum(run_pad, run_rb, num_segments=num_row_blocks)
+    blk_pad = jnp.maximum(-(-blk_tot // chunk), 1) * chunk
+    cum_blk = jnp.cumsum(blk_pad)
+    blk_off = cum_blk - blk_pad
+
+    cum_run = jnp.cumsum(run_pad) - run_pad  # exclusive, in run order
+    blk_first_cum = jax.ops.segment_min(
+        jnp.where(run_len > 0, cum_run, jnp.iinfo(jnp.int32).max),
+        run_rb, num_segments=num_row_blocks,
+    )
+    blk_first_cum = jnp.where(
+        blk_tot > 0, blk_first_cum, 0
+    )
+    run_off = blk_off[run_rb] + (cum_run - blk_first_cum[run_rb])
+    # tail runs with no edges must not break run_off monotonicity for the
+    # quantum searchsorted below
+    run_off = jnp.where(run_len > 0, run_off, total + 1)
+
+    run_start = jax.ops.segment_min(
+        jnp.where(real_s, pos_idx, e_pad), run_id, num_segments=b_runs
+    )
+    rank = pos_idx - run_start[run_id]
+    pos = jnp.where(real_s, run_off[run_id] + rank, total)
+
+    src_f = jnp.zeros((total,), jnp.int32).at[pos].set(src_s, mode="drop")
+    val_f = jnp.zeros((total,), jnp.float32).at[pos].set(val_s, mode="drop")
+    local = jnp.full((total,), row_block, jnp.int32).at[pos].set(
+        (dst_s - rb_s * row_block).astype(jnp.int32), mode="drop"
+    )
+
+    # per-quantum relation: the run whose [run_off, run_off + run_pad) span
+    # covers the quantum start; gap quanta (between a block's runs and its
+    # chunk padding) inherit the previous run's relation — harmless, their
+    # val is 0.
+    q_starts = jnp.arange(n_quanta, dtype=jnp.int32) * quantum
+    q_run = jnp.clip(
+        jnp.searchsorted(run_off, q_starts, side="right") - 1, 0, b_runs - 1
+    )
+    qrel = run_rel[q_run]
+
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    chunk_block = jnp.searchsorted(cum_blk, chunk_starts, side="right")
+    chunk_block = jnp.minimum(chunk_block, num_row_blocks - 1).astype(jnp.int32)
+
+    return FusedLayout(
+        src=src_f,
+        val=val_f,
+        local_dst=local.reshape(n_chunks, chunk),
+        quantum_rel=qrel.astype(jnp.int32),
         chunk_block=chunk_block,
         num_row_blocks=int(num_row_blocks),
         row_block=int(row_block),
