@@ -60,6 +60,7 @@ def build_edge_set_dynamic(
     dropout_key: Optional[jax.Array] = None,
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
+    with_fused_layout: bool = False,
     row_block: int = 256,
 ) -> EdgeSet:
     """Turn a ``(B, 3)`` positive-triple batch into a padded :class:`EdgeSet`.
@@ -139,23 +140,28 @@ def build_edge_set_dynamic(
     if with_dst_layout:
         import dataclasses
 
-        from rgcn_tpu.ops.pallas_fused import build_fused_layout_dynamic
-
         layout = build_dst_layout_dynamic(
             dst_p, num_nodes, row_block=row_block, chunk=tile_size
         )
         rev = _reverse_edge_set_dynamic(es, row_block, tile_size)
-        q = min(16, tile_size)
-        fused = build_fused_layout_dynamic(
-            es, row_block=row_block, chunk=tile_size, quantum=q
-        )
-        rev = dataclasses.replace(
-            rev,
-            fused=build_fused_layout_dynamic(
-                rev, row_block=row_block, chunk=tile_size, quantum=q
-            ),
-        )
-        es = dataclasses.replace(es, layout=layout, reverse=rev, fused=fused)
+        es = dataclasses.replace(es, layout=layout, reverse=rev)
+        if with_fused_layout:
+            # Opt-in: the fused forward saves ~30% of step time but its
+            # in-jit layout build inflates compile time substantially on
+            # this environment's remote-compile path.
+            from rgcn_tpu.ops.pallas_fused import build_fused_layout_dynamic
+
+            q = min(16, tile_size)
+            fused = build_fused_layout_dynamic(
+                es, row_block=row_block, chunk=tile_size, quantum=q
+            )
+            rev = dataclasses.replace(
+                rev,
+                fused=build_fused_layout_dynamic(
+                    rev, row_block=row_block, chunk=tile_size, quantum=q
+                ),
+            )
+            es = dataclasses.replace(es, reverse=rev, fused=fused)
     return es
 
 
