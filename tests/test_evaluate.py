@@ -81,3 +81,42 @@ def test_evaluate_ranking_batching():
     assert 0 < mrr <= 1
     assert all(0 <= h <= 1 for h in hits)
     assert hits[0] <= hits[1] <= hits[2]
+
+
+def test_candidate_sweeps_match_per_triple_scores():
+    """score_head/tail_candidates rows == distmult_score of the substituted
+    triples (the encode-once sweep is exactly the reference's per-candidate
+    scoring, utils/misc.py:77-86)."""
+    import jax.numpy as jnp
+
+    from rgcn_tpu.ops.distmult import (
+        distmult_score,
+        score_head_candidates,
+        score_tail_candidates,
+    )
+
+    rng = np.random.default_rng(61)
+    n, r, d, b = 12, 4, 6, 5
+    nodes = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rels = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    batch = jnp.asarray(
+        np.stack(
+            [rng.integers(0, n, b), rng.integers(0, r, b), rng.integers(0, n, b)],
+            axis=1,
+        )
+    )
+
+    heads = np.asarray(score_head_candidates(batch, nodes, rels))
+    tails = np.asarray(score_tail_candidates(batch, nodes, rels))
+    for i in range(b):
+        for cand in range(n):
+            th = jnp.asarray([[cand, batch[i, 1], batch[i, 2]]])
+            tt = jnp.asarray([[batch[i, 0], batch[i, 1], cand]])
+            np.testing.assert_allclose(
+                heads[i, cand], float(distmult_score(th, nodes, rels)[0]),
+                rtol=1e-4, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                tails[i, cand], float(distmult_score(tt, nodes, rels)[0]),
+                rtol=1e-4, atol=1e-5,
+            )
