@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Train-step throughput harness: full NC / LP step time at configurable
+scale, using the honest async-chain methodology (see bench.py). One JSON
+line per configuration.
+
+    python benchmarks/train_step.py [--cpu] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from rgcn_tpu.utils.compile_cache import enable
+
+        enable()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from rgcn_tpu.data.synthetic import synthetic_kg
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.models import LinkPredictor, NodeClassifier
+    from rgcn_tpu.train.negative import corrupt_batch
+    from rgcn_tpu.train.optim import make_optimizer
+
+    if args.quick:
+        nc_n, nc_r, nc_e = 2000, 12, 10000
+        lp_n, lp_r, lp_b = 2000, 12, 1024
+    else:
+        nc_n, nc_r, nc_e = 8285, 45, 29000      # AIFB scale
+        lp_n, lp_r, lp_b = 40943, 18, 30000     # WN18 scale
+
+    rng = np.random.default_rng(0)
+
+    def chain_time(step_fn, fetch, *state, iters):
+        """step_fn(state) -> state; fetch(state) -> float forces sync."""
+        def run(k):
+            s = state
+            s = step_fn(*s)
+            fetch(s)
+            ts = []
+            for _ in range(3):
+                s = state
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    s = step_fn(*s)
+                fetch(s)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (run(2 + iters) - run(2)) / iters
+
+    results = {}
+
+    # --- NC full-batch step (AIFB scale, basis) ---
+    triples = synthetic_kg(nc_n, nc_r, nc_e, seed=0)
+    es = build_edge_set(triples, nc_n, nc_r, tile_size=128,
+                        with_dst_layout=True)
+    model = NodeClassifier(
+        num_nodes=nc_n, num_relations=nc_r, num_classes=4, hidden_size=16,
+        decomposition="basis", num_bases=8,
+    )
+    params = model.init(jax.random.key(0), es)
+    tx = make_optimizer("adam", 0.01)
+    opt_state = tx.init(params)
+    idx = jnp.asarray(rng.choice(nc_n, 128, replace=False))
+    lbl = jnp.asarray(rng.integers(0, 4, 128))
+
+    @jax.jit
+    def nc_step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, es)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits[idx], lbl
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state
+
+    t = chain_time(
+        nc_step,
+        lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
+        params, opt_state, iters=args.iters,
+    )
+    results["nc_step_ms"] = round(t * 1e3, 3)
+
+    # --- LP step (WN18 scale, basis, in-jit graph build) ---
+    lp_triples = synthetic_kg(lp_n, lp_r, 5 * lp_b, seed=1)[: 2 * lp_b]
+    model = LinkPredictor(
+        num_nodes=lp_n, num_relations=lp_r, emb_dim=200, hidden1_size=200,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+    )
+    pos0 = jnp.asarray(lp_triples[:lp_b])
+    edges0 = build_edge_set_dynamic(pos0, lp_n, lp_r, tile_size=128)
+    lp_params = model.init({"params": jax.random.key(1)}, edges0, pos0)
+    lp_opt = tx.init(lp_params)
+
+    @jax.jit
+    def lp_step(params, opt_state, key):
+        k_neg, k_drop, key = jax.random.split(key, 3)
+        batch, labels = corrupt_batch(k_neg, pos0, lp_n, 10, 0.5)
+        edges = build_edge_set_dynamic(
+            pos0, lp_n, lp_r, tile_size=128,
+            dropout_rate=0.5, dropout_key=k_drop,
+            with_dst_layout=jax.default_backend() in ("tpu", "axon"),
+        )
+
+        def loss_fn(p):
+            scores, pen = model.apply(p, edges, batch)
+            return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, key
+
+    t = chain_time(
+        lp_step,
+        lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
+        lp_params, lp_opt, jax.random.key(2), iters=args.iters,
+    )
+    results["lp_step_ms"] = round(t * 1e3, 3)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
