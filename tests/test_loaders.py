@@ -139,3 +139,18 @@ def test_unknown_dataset_raises(tmp_path):
         load_node_classification("nope", data_root=str(tmp_path))
     with pytest.raises(ValueError, match="could not find"):
         load_link_prediction("nope", data_root=str(tmp_path))
+
+
+def test_nc_loader_relation_limit(tmp_path):
+    """``limit`` keeps the most frequent relations and buckets the rest into
+    '.rest' (reference ``utils/data.py:163-170``); caching is bypassed."""
+    _write_nc_dataset(tmp_path)
+    data = load_node_classification(
+        "aifb", final_run=True, data_root=str(tmp_path), limit=1,
+        enable_cache=False,
+    )
+    # 1 kept relation + '.rest' + 'inv..rest'
+    assert len(data.i2r) == 3
+    assert ".rest" in data.r2i
+    # every edge's relation id is in range
+    assert data.triples[:, 1].max() < len(data.i2r)
