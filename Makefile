@@ -1,0 +1,22 @@
+# Convenience targets. See CLAUDE.md for environment notes.
+.PHONY: test native bench bench-quick smoke clean
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	$(MAKE) -C native
+
+bench:
+	python bench.py
+
+bench-quick:
+	python bench.py --quick --cpu
+
+smoke:
+	python cli/classify_nodes.py --config configs/rgcn/nc-AIFB.yaml --synthetic --epochs 3 --cpu
+	python cli/predict_links.py --config configs/rgcn/lp-FB-toy.yaml --synthetic --epochs 3 --cpu
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf .jax_cache

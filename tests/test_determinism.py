@@ -138,3 +138,31 @@ def test_lp_training_reproducible():
     np.testing.assert_array_equal(ranks1, ranks2)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nc_step_no_implicit_transfers():
+    """The jitted NC forward runs entirely on device — no silent host↔device
+    transfers (the reference moved tensors per call, e.g.
+    torch_rgcn/layers.py:461-463)."""
+    import jax.numpy as jnp
+
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.models import NodeClassifier
+
+    data = synthetic_node_classification(
+        num_nodes=60, num_rels=4, num_edges=300, seed=3
+    )
+    es = build_edge_set(data.triples, data.num_nodes, data.num_relations,
+                        tile_size=8)
+    es = jax.device_put(es)
+    model = NodeClassifier(
+        num_nodes=data.num_nodes, num_relations=data.num_relations,
+        num_classes=data.num_classes, hidden_size=8,
+    )
+    params = jax.device_put(model.init(jax.random.key(0), es))
+    fwd = jax.jit(model.apply)
+    fwd(params, es)  # compile outside the guard
+
+    with jax.transfer_guard("disallow"):
+        out = fwd(params, es)
+    assert out.shape == (data.num_nodes, data.num_classes)
