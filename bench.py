@@ -218,17 +218,32 @@ def main():
         )
 
     if args.variant == "auto":
+        import sys
+        import traceback
+
         import jax
 
         if jax.default_backend() not in ("tpu", "axon"):
             eps, dt, edges_aug = run("xla")  # no compiled Pallas off-TPU
         else:
+            # Fall back down the ladder only on *loudly logged* failures —
+            # a broken fused kernel must not silently report the slower
+            # variant's number as the headline.
+            last_exc = None
             for variant in ("fused-bf16", "pallas-bf16", "xla"):
                 try:
                     eps, dt, edges_aug = run(variant)
+                    print(f"bench variant: {variant}", file=sys.stderr)
                     break
                 except Exception:
-                    continue
+                    print(
+                        f"bench: variant {variant!r} FAILED, falling back:",
+                        file=sys.stderr,
+                    )
+                    traceback.print_exc(file=sys.stderr)
+                    last_exc = sys.exc_info()[1]
+            else:
+                raise RuntimeError("all bench variants failed") from last_exc
     else:
         eps, dt, edges_aug = run(args.variant)
 

@@ -50,6 +50,9 @@ def main():
     from rgcn_tpu.train.node_classification import run_repeats
     from rgcn_tpu.utils.logging import ScalarLogger
 
+    import os
+    if not os.path.isfile(args.config):
+        ap.error(f"config file not found: {args.config}")
     cfg = load_experiment(args.config)
     if not isinstance(cfg, NodeClassificationExperiment):
         ap.error(f"{args.config} is not a node-classification config")

@@ -51,6 +51,9 @@ def main():
     from rgcn_tpu.train.link_prediction import train_link_predictor
     from rgcn_tpu.utils.logging import ScalarLogger
 
+    import os
+    if not os.path.isfile(args.config):
+        ap.error(f"config file not found: {args.config}")
     cfg = load_experiment(args.config)
     if not isinstance(cfg, LinkPredictionExperiment):
         ap.error(f"{args.config} is not a link-prediction config")

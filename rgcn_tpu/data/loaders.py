@@ -133,14 +133,6 @@ class LinkPredictionData:
         return added
 
 
-def _categorical_codes(values: Sequence[str]) -> List[int]:
-    """Pandas ``.astype('category').cat.codes`` semantics: codes follow the
-    sorted unique order."""
-    cats = sorted(set(values))
-    lookup = {c: i for i, c in enumerate(cats)}
-    return [lookup[v] for v in values]
-
-
 def _read_tsv(path: str, label_header: str, nodes_header: str):
     import pandas as pd
 
@@ -221,8 +213,17 @@ def load_node_classification(
         nodes_test, labels_test = nodes_train[:pivot], labels_train[:pivot]
         nodes_train, labels_train = nodes_train[pivot:], labels_train[pivot:]
 
-    train = dict(zip(nodes_train, _categorical_codes(labels_train)))
-    test = dict(zip(nodes_test, _categorical_codes(labels_test)))
+    # One shared label vocabulary across splits. The reference codes each
+    # split independently (``utils/data.py:119-127``, pandas
+    # ``.astype('category')`` per file) — a silent mis-alignment whenever a
+    # class is absent from one split. For the benchmark datasets every class
+    # appears in both splits, so the shared coding is identical to the
+    # reference there; this is a deliberate defect fix (SURVEY §7.8), not a
+    # semantics change.
+    cats = sorted(set(labels_train) | set(labels_test))
+    lookup = {c: i for i, c in enumerate(cats)}
+    train = dict(zip(nodes_train, (lookup[v] for v in labels_train)))
+    test = dict(zip(nodes_test, (lookup[v] for v in labels_test)))
 
     triples = list(iter_nt_file(os.path.join(root, graph_rel)))
 

@@ -165,11 +165,16 @@ def make_sharded_lp_step(
                     self_mask=self_mask,
                     deterministic=False,
                     rngs={"dropout": k_sl},
+                    # penalty rows weighted by w/real: pad triples (0,0,0)
+                    # contribute nothing and the psum below reassembles the
+                    # exact single-device penalty (no shard-mean approximation)
+                    penalty_weights=weights,
+                    penalty_total=jnp.asarray(real, jnp.float32),
                 )
                 bce = optax.sigmoid_binary_cross_entropy(scores, labels)
                 # local sum over the batch shard; static global count `real`
                 local = jnp.sum(bce * weights) / real
-                local = local + decoder_l2_weight * penalty / n_shards
+                local = local + decoder_l2_weight * penalty
                 return jax.lax.psum(local, axis_name)
 
             return jax.value_and_grad(loss_fn)(params)

@@ -92,15 +92,19 @@ def build_edge_set_dynamic(
         keep = jnp.ones((bsz,), dtype=jnp.float32)
     mask = jnp.concatenate([keep, keep])  # inverse shares its original's fate
 
-    # Sort by (relation, receiver).
-    sort_key = rel.astype(jnp.int64) * (num_nodes + 1) + dst.astype(jnp.int64)
-    order = jnp.argsort(sort_key)
-    sort_key = sort_key[order]
+    # Sort by (relation, receiver) via two stable argsorts — a composite
+    # int key rel*(N+1)+dst overflows int32 once 2R*(N+1) >= 2^31 (and
+    # int64 silently truncates without jax_enable_x64).
+    order = jnp.argsort(dst, stable=True)
+    order = order[jnp.argsort(rel[order], stable=True)]
     src, dst, rel, mask = src[order], dst[order], rel[order], mask[order]
 
     # Degree per (rel, dst) group as a run-length computation on sorted keys.
     is_new = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (sort_key[1:] != sort_key[:-1]).astype(jnp.int32)]
+        [
+            jnp.ones((1,), jnp.int32),
+            ((rel[1:] != rel[:-1]) | (dst[1:] != dst[:-1])).astype(jnp.int32),
+        ]
     )
     seg = jnp.cumsum(is_new) - 1  # group id, < e_raw
     deg = jax.ops.segment_sum(mask, seg, num_segments=e_raw)[seg]
@@ -235,8 +239,10 @@ def _reverse_edge_set_dynamic(es: EdgeSet, row_block: int, chunk: int) -> EdgeSe
     new_dst, new_src = es.src, es.dst
     rel, val = es.rel, es.val
 
-    sort_key = rel.astype(jnp.int64) * (n + 1) + new_dst.astype(jnp.int64)
-    order = jnp.argsort(sort_key)
+    # (relation, receiver) sort via two stable argsorts — no composite int
+    # key (int32 overflow risk at scale; int64 truncates without x64).
+    order = jnp.argsort(new_dst, stable=True)
+    order = order[jnp.argsort(rel[order], stable=True)]
     new_src, new_dst = new_src[order], new_dst[order]
     rel, val = rel[order], val[order]
 

@@ -122,13 +122,36 @@ class LinkPredictor(nn.Module):
             x = self.rgc2(edges, x, self_mask=self_mask, deterministic=deterministic)
         return x
 
-    def compute_penalty(self, triples: jax.Array, z: jax.Array) -> jax.Array:
-        """Decoder L2 penalty (``models.py:95-103``)."""
+    def compute_penalty(
+        self,
+        triples: jax.Array,
+        z: jax.Array,
+        penalty_weights: Optional[jax.Array] = None,
+        penalty_total: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Decoder L2 penalty (``models.py:95-103``).
+
+        ``penalty_weights``/``penalty_total`` weight batch rows by
+        ``w / total`` for padded or sharded batches: pad rows (weight 0)
+        drop out, and per-shard values sum (e.g. under ``psum``) to the
+        exact unpadded penalty. The batch-independent plain-L2 variant is
+        scaled by ``sum(w) / total`` so shard partials also add up exactly.
+        """
         if self.decoder_l2 == 0.0:
             return jnp.zeros(())
         if self.decoder_l2_type == "schlichtkrull-l2":
-            return self.scoring_function.s_penalty(triples, z)
-        return self.scoring_function.l2_penalty()
+            return self.scoring_function.s_penalty(
+                triples, z, weights=penalty_weights, total=penalty_total
+            )
+        l2 = self.scoring_function.l2_penalty()
+        if penalty_weights is not None:
+            total = (
+                penalty_total
+                if penalty_total is not None
+                else jnp.sum(penalty_weights)
+            )
+            l2 = l2 * (jnp.sum(penalty_weights) / total)
+        return l2
 
     def __call__(
         self,
@@ -137,10 +160,16 @@ class LinkPredictor(nn.Module):
         *,
         self_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        penalty_weights: Optional[jax.Array] = None,
+        penalty_total: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         z = self.encode(edges, self_mask=self_mask, deterministic=deterministic)
         scores = self.scoring_function(triples, z)
-        penalty = self.compute_penalty(triples, z)
+        penalty = self.compute_penalty(
+            triples, z,
+            penalty_weights=penalty_weights,
+            penalty_total=penalty_total,
+        )
         return scores, penalty
 
     # Evaluation sweeps (encode-once path) -------------------------------

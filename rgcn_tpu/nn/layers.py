@@ -320,17 +320,34 @@ class DistMult(nn.Module):
             sbias=self.sbias, pbias=self.pbias, obias=self.obias,
         )
 
-    def s_penalty(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
+    def s_penalty(
+        self,
+        triples: jax.Array,
+        nodes: jax.Array,
+        weights: Optional[jax.Array] = None,
+        total: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Schlichtkrull L2: mean of squares of the embeddings used in the
-        batch (``torch_rgcn/layers.py:77-84``)."""
+        batch (``torch_rgcn/layers.py:77-84``).
+
+        ``weights``/``total`` support padded/sharded batches: rows are
+        weighted by ``weights / total`` (``total`` defaults to
+        ``sum(weights)``), so zero-weight pad rows contribute nothing and
+        per-shard partial sums add up to the exact unpadded value.
+        """
         s = triples[..., 0]
         p = triples[..., 1]
         o = triples[..., 2]
-        return (
-            jnp.mean(nodes[s] ** 2)
-            + jnp.mean(self.relations[p] ** 2)
-            + jnp.mean(nodes[o] ** 2)
+        per_row = (
+            jnp.mean(nodes[s] ** 2, axis=-1)
+            + jnp.mean(self.relations[p] ** 2, axis=-1)
+            + jnp.mean(nodes[o] ** 2, axis=-1)
         )
+        if weights is None:
+            return jnp.mean(per_row)
+        if total is None:
+            total = jnp.sum(weights)
+        return jnp.sum(per_row * weights) / total
 
     def l2_penalty(self) -> jax.Array:
         """Plain sum-of-squares of the relation matrix

@@ -107,6 +107,61 @@ def ranks_from_scores(
     return jnp.where(valid, ranks, 0)
 
 
+def batched_eval_arrays(
+    test: np.ndarray,
+    filters: np.ndarray,
+    targets: np.ndarray,
+    batch_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pad + reshape one ranking direction into scan-ready batch tensors:
+    ``(nb, B, 3) triples, (nb, B, L) filters, (nb, B) targets, (nb, B)
+    valid``. Pad filter rows use a huge index: out of range for ``(B, N)``
+    scores, so the ``-inf`` scatter drops it (negative pads would be OOB
+    too, but the semantics of negative indices differ across scatter
+    modes)."""
+    n = len(test)
+    nb = -(-n // batch_size)
+    total = nb * batch_size
+    width = filters.shape[1]
+
+    batch = np.zeros((total, 3), dtype=np.int64)
+    batch[:n] = test
+    filt = np.full((total, width), 2**30, dtype=np.int32)
+    filt[:n] = filters
+    tgt = np.zeros((total,), dtype=np.int64)
+    tgt[:n] = targets
+    valid = np.zeros((total,), dtype=bool)
+    valid[:n] = True
+    return (
+        batch.reshape(nb, batch_size, 3),
+        filt.reshape(nb, batch_size, width),
+        tgt.reshape(nb, batch_size),
+        valid.reshape(nb, batch_size),
+    )
+
+
+def scan_ranks(
+    score_fn: Callable[[jax.Array], jax.Array],
+    batches: jax.Array,  # (nb, B, 3)
+    filts: jax.Array,  # (nb, B, L)
+    tgts: jax.Array,  # (nb, B)
+    valids: jax.Array,  # (nb, B)
+) -> jax.Array:
+    """All-batches ranking as one ``lax.scan`` — a single device program
+    instead of a host loop with one dispatch round-trip per batch (the
+    reference loops 16-triple batches through the *full encoder*,
+    ``utils/misc.py:77-86``; even encode-once pays ~tens of ms dispatch
+    latency per batch on networked backends). Traceable; callers jit."""
+
+    def body(carry, xs):
+        batch, filt, tgt, valid = xs
+        scores = score_fn(batch)
+        return carry, ranks_from_scores(scores, tgt, filt, valid)
+
+    _, ranks = jax.lax.scan(body, None, (batches, filts, tgts, valids))
+    return ranks
+
+
 def evaluate_ranking(
     score_fn: Callable[[jax.Array], jax.Array],
     test: np.ndarray,
@@ -116,33 +171,20 @@ def evaluate_ranking(
 ) -> np.ndarray:
     """Rank every test triple in one direction.
 
-    ``score_fn(batch (B,3)) -> (B, N)`` candidate scores (jitted by the
-    caller; fixed batch size — the final batch is padded and masked).
-    """
+    ``score_fn(batch (B,3)) -> (B, N)`` candidate scores; traceable (the
+    whole sweep runs as one scanned device program)."""
     n = len(test)
-    ranks = np.zeros(n, dtype=np.int64)
-    width = filters.shape[1]
-    for fr in range(0, n, batch_size):
-        to = min(fr + batch_size, n)
-        bsz = to - fr
-        batch = np.zeros((batch_size, 3), dtype=np.int64)
-        batch[:bsz] = test[fr:to]
-        # pad rows use a huge index: out of range for (B, N) scores, so the
-        # -inf scatter drops it (negative pads would be OOB too, but the
-        # semantics of negative indices differ across scatter modes)
-        filt = np.full((batch_size, width), 2**30, dtype=np.int32)
-        filt[:bsz] = filters[fr:to]
-        tgt = np.zeros((batch_size,), dtype=np.int64)
-        tgt[:bsz] = targets[fr:to]
-        valid = np.zeros((batch_size,), dtype=bool)
-        valid[:bsz] = True
-
-        scores = score_fn(jnp.asarray(batch))
-        r = ranks_from_scores(
-            scores, jnp.asarray(tgt), jnp.asarray(filt), jnp.asarray(valid)
-        )
-        ranks[fr:to] = np.asarray(r)[:bsz]
-    return ranks
+    batches, filts, tgts, valids = batched_eval_arrays(
+        test, filters, targets, batch_size
+    )
+    ranks = scan_ranks(
+        score_fn,
+        jnp.asarray(batches),
+        jnp.asarray(filts),
+        jnp.asarray(tgts),
+        jnp.asarray(valids),
+    )
+    return np.asarray(ranks).reshape(-1)[:n]
 
 
 def ranking_metrics(

@@ -85,18 +85,30 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int, num_rels: int)
 
 @functools.lru_cache(maxsize=8)
 def _eval_fns(model):
-    """Jitted encode/score functions, cached per model so repeated
+    """Jitted encode/rank-sweep functions, cached per model so repeated
     evaluations during training reuse one compilation (fresh ``jax.jit``
     wrappers per call would recompile every eval — minutes on this
-    backend). flax modules are frozen dataclasses, hence hashable."""
+    backend). flax modules are frozen dataclasses, hence hashable.
+
+    Each rank sweep is one scanned device program over all evaluation
+    batches (see :func:`rgcn_tpu.train.evaluate.scan_ranks`) — a handful of
+    dispatches per evaluation instead of thousands."""
+    from rgcn_tpu.train.evaluate import scan_ranks
+
     encode = jax.jit(lambda p, edges: model.apply(p, edges, method=model.encode))
-    score_h = jax.jit(
-        lambda p, z, batch: model.apply(p, batch, z, method=model.score_heads)
-    )
-    score_t = jax.jit(
-        lambda p, z, batch: model.apply(p, batch, z, method=model.score_tails)
-    )
-    return encode, score_h, score_t
+
+    def make_sweep(method):
+        def sweep(p, z, batches, filts, tgts, valids):
+            return scan_ranks(
+                lambda batch: model.apply(p, batch, z, method=method),
+                batches, filts, tgts, valids,
+            )
+
+        return jax.jit(sweep)
+
+    rank_h = make_sweep(model.score_heads)
+    rank_t = make_sweep(model.score_tails)
+    return encode, rank_h, rank_t
 
 
 def evaluate_link_predictor(
@@ -106,18 +118,16 @@ def evaluate_link_predictor(
     test: np.ndarray,
     filters: Optional[RankingFilters],
     batch_size: int = 512,
+    verbose: bool = False,
+    logger=None,
 ) -> Tuple[float, Tuple[float, float, float], np.ndarray]:
     """Filtered/raw MRR and Hits@{1,3,10} over head and tail prediction."""
+    from rgcn_tpu.train.evaluate import batched_eval_arrays
+
     num_test = len(test)
 
-    encode, score_h, score_t = _eval_fns(model)
+    encode, rank_h, rank_t = _eval_fns(model)
     z = encode(params, eval_edges)
-
-    def score_heads(batch):
-        return score_h(params, z, batch)
-
-    def score_tails(batch):
-        return score_t(params, z, batch)
 
     if filters is not None:
         head_filt, tail_filt = filters.heads, filters.tails
@@ -125,13 +135,27 @@ def evaluate_link_predictor(
         head_filt = np.full((num_test, 1), 2**30, dtype=np.int32)
         tail_filt = head_filt
 
-    ranks_h = evaluate_ranking(
-        score_heads, test, head_filt, test[:, 0], batch_size=batch_size
-    )
-    ranks_t = evaluate_ranking(
-        score_tails, test, tail_filt, test[:, 2], batch_size=batch_size
-    )
-    ranks = np.concatenate([ranks_h, ranks_t])
+    def say(msg):
+        if verbose:
+            (logger.info if logger is not None else print)(msg)
+
+    ranks = []
+    for tag, sweep, filt, tgt in (
+        ("head", rank_h, head_filt, test[:, 0]),
+        ("tail", rank_t, tail_filt, test[:, 2]),
+    ):
+        t0 = time.time()
+        arrays = batched_eval_arrays(test, filt, tgt, batch_size)
+        r = np.asarray(
+            sweep(params, z, *(jnp.asarray(a) for a in arrays))
+        ).reshape(-1)[:num_test]
+        say(
+            f"  {tag} sweep: {num_test} triples x {z.shape[0]} candidates "
+            f"in {time.time() - t0:.2f}s"
+        )
+        ranks.append(r)
+
+    ranks = np.concatenate(ranks)
     mrr, hits = ranking_metrics(ranks)
     return mrr, hits, ranks
 
@@ -307,7 +331,8 @@ def train_link_predictor(
             logger.info("Starting evaluation...")
             mrr, hits, ranks = evaluate_link_predictor(
                 model, params, eval_edges, test_np, filters,
-                batch_size=max(cfg.evaluation.batch_size, 64),
+                batch_size=cfg.evaluation.batch_size,
+                verbose=cfg.evaluation.verbose, logger=logger,
             )
             logger.log_scalar("training.loss", loss, step=epoch)
             logger.log_scalar("test.mrr", mrr, step=epoch)
@@ -328,7 +353,8 @@ def train_link_predictor(
     logger.info("Starting final evaluation...")
     mrr, hits, ranks = evaluate_link_predictor(
         model, params, eval_edges, test_np, filters,
-        batch_size=max(cfg.evaluation.batch_size, 64),
+        batch_size=cfg.evaluation.batch_size,
+        verbose=cfg.evaluation.verbose, logger=logger,
     )
     logger.log_scalar("test.mrr", mrr, step=epochs)
     for k, h in zip((1, 3, 10), hits):

@@ -89,11 +89,15 @@ def test_sharded_nc_step_matches_single_device(mesh):
     tree_allclose(params_s, params_ref)
 
 
-def test_sharded_lp_step_matches_single_device(mesh):
+@pytest.mark.parametrize("bsz", [24, 21])  # 96 % 8 == 0; 84 % 8 != 0
+def test_sharded_lp_step_matches_single_device(mesh, bsz):
+    """Sharded step == single-device step, with and without scoring-batch
+    padding: the nondivisible case checks that pad triples (0,0,0) are
+    excluded from BOTH the BCE and the schlichtkrull-l2 penalty."""
     rng = np.random.default_rng(21)
     n, r = 48, 4
     triples = make_random_triples(rng, n, r, 200)
-    bsz, num_neg, tile = 24, 3, 8  # batch*(1+neg) = 96, divisible by 8
+    num_neg, tile = 3, 8
 
     kwargs = dict(
         num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,

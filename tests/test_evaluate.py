@@ -59,12 +59,17 @@ def test_evaluate_ranking_batching():
     targets = test[:, 0]
     filters = np.full((t, 1), 2**30, dtype=np.int32)
 
-    lookup = {tuple(row): i for i, row in enumerate(test)}
+    # score_fn must be traceable (the sweep runs as one scanned device
+    # program): a dense (s, o) -> test-row lookup table instead of a dict.
+    table = np.zeros((n, n), dtype=np.int32)
+    for i, (s, _, o) in enumerate(test):
+        table[s, o] = i
+    table_j = jnp.asarray(table)
+    z_j = jnp.asarray(z)
 
     def score_fn(batch):
-        b = np.asarray(batch)
-        idx = [lookup.get(tuple(row), 0) for row in b]
-        return jnp.asarray(z[idx])
+        idx = table_j[batch[:, 0], batch[:, 2]]
+        return z_j[idx]
 
     ranks = evaluate_ranking(score_fn, test, filters, targets, batch_size=4)
 
