@@ -95,13 +95,13 @@ def prepare_sharded_layouts(
     Pallas SpMM per shard before the cross-shard ``psum``. Runs once per
     graph; outputs stay sharded along the mesh axis.
 
-    Note: pallas_call under shard_map currently requires ``check_vma=False``
-    (no vma metadata on kernel outputs), which is safe here (pure
-    preprocessing, no AD) and for inference-only forwards — but NOT for
-    differentiated shard_maps, where disabling vma tracking breaks the
-    automatic gradient reduction. Sharded *training* therefore uses the XLA
-    path inside shard_map; sharded Pallas training needs vma plumbing
-    (round-2 item).
+    Note: pallas_call under shard_map requires ``check_vma=False`` (no vma
+    metadata on kernel outputs; interpret mode additionally rejects mixed
+    varying/invariant operands inside kernels). Differentiated shard_maps
+    — including sharded *training* through the Pallas kernels — are made
+    exact without vma tracking by the manual-AD collectives in
+    :mod:`rgcn_tpu.ops.collectives` (``all_reduce``/``fanout``); see
+    ``tests/test_dist.py`` for the exactness guarantees.
     """
     import dataclasses
     import functools

@@ -9,13 +9,16 @@ Pattern (validated numerically against single-device gradients in
   (``RGCNConv(axis_name="edge")``) reduces partial node sums over ICI;
 * the scoring batch (positives + negatives) is sharded along the same axis
   (data parallelism for the decoder);
-* the local loss contribution is ``psum``-reduced *inside* the
-  differentiated function, so every shard differentiates the true global
-  loss — shard_map's AD of ``psum`` then produces exact replicated
-  gradients with no manual gradient collectives. This depends on
-  shard_map's varying-mesh-axes tracking: do NOT set ``check_vma=False``
-  on these steps (it silently drops the automatic gradient reduction for
-  replicated inputs — found the hard way; see tests/test_dist.py).
+* the local loss contribution is reduced *inside* the differentiated
+  function with the manual-AD collectives of
+  :mod:`rgcn_tpu.ops.collectives` (``all_reduce`` at every
+  varying→replicated reduction, ``fanout`` at every replicated→varying
+  boundary — applied inside ``RGCNConv``/``DistMult`` via ``axis_name``),
+  so gradients are exact by construction under ``check_vma=False``. vma
+  checking must be OFF because the Pallas kernels cannot run under it
+  (see the collectives module docstring); exactness is instead enforced
+  by ``tests/test_dist.py`` against the single-device computation for
+  both the XLA and Pallas backends.
 
 Parameters and node features are replicated: for relational graphs the edge
 list dominates memory and FLOPs (N·d and R·d² are small next to E·d), so
@@ -37,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rgcn_tpu.dist.mesh import EDGE_AXIS
 from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+from rgcn_tpu.ops.collectives import all_reduce
 from rgcn_tpu.train.negative import corrupt_batch
 
 __all__ = ["make_sharded_nc_step", "make_sharded_lp_step", "pad_to_multiple"]
@@ -60,7 +64,10 @@ def make_sharded_nc_step(
 
     ``model`` must be built with ``axis_name=axis_name``. The EdgeSet passed
     to the returned step must have its tile count divisible by the mesh axis
-    size (``build_edge_set(..., tile_multiple=mesh_size)``).
+    size (``build_edge_set(..., tile_multiple=mesh_size)``). To run the
+    Pallas kernels per shard, build the model with ``backend='pallas'`` and
+    attach per-shard layouts first
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_layouts`).
     """
     espec = P(axis_name)
 
@@ -71,6 +78,10 @@ def make_sharded_nc_step(
             mesh=mesh,
             in_specs=(P(), espec),
             out_specs=(P(), P()),
+            # manual-AD collectives inside the model make gradients exact
+            # without vma tracking (required for the Pallas kernels) — see
+            # rgcn_tpu.ops.collectives
+            check_vma=False,
         )
         def loss_and_grads(params, edges):
             def loss_fn(p):
@@ -107,6 +118,8 @@ def make_sharded_lp_step(
     structural_self_keep: Optional[float] = None,
     decoder_l2_weight: float = 0.0,
     axis_name: str = EDGE_AXIS,
+    backend: str = "auto",
+    row_block: int = 256,
 ) -> Callable:
     """Jitted link-prediction step: in-jit graph build + sharded loss/grad.
 
@@ -114,9 +127,26 @@ def make_sharded_lp_step(
     integer work), sharded by tiles via ``with_sharding_constraint``-style
     shard_map specs; the scoring batch is padded to the mesh size and
     sharded with per-row weights so padding rows contribute zero loss.
+
+    ``backend='pallas'`` (with a model built the same way) makes each shard
+    construct the destination layout + reversed structure for its *local*
+    edge slice inside the shard_map, so both the forward and the custom-VJP
+    backward run the Pallas kernels per shard before the cross-shard
+    reduction.
+
+    Works on 1-D and 2-D meshes. On a 2-D ``(replica, edge)`` mesh
+    (:func:`rgcn_tpu.dist.multihost.make_mesh_2d`): the EdgeSet is sharded
+    over the ``edge`` axis (replicated across replicas — layer psums ride
+    the fast axis), the scoring batch is sharded over *every* device, and
+    the loss/decoder gradients reduce over both axes. Build the model with
+    ``axis_name=<edge axis>`` and
+    ``decoder_axis_name=tuple(mesh.axis_names)``.
     """
-    n_shards = mesh.shape[axis_name]
+    all_axes = tuple(mesh.axis_names)
+    n_shards = mesh.size  # scoring-batch shards (all devices)
     espec = P(axis_name)
+    bspec = P(all_axes)  # batch dim sharded over the whole mesh
+    use_pallas = backend == "pallas"
 
     @jax.jit
     def step(params, opt_state, positives, key):
@@ -153,10 +183,33 @@ def make_sharded_lp_step(
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), espec, espec, espec, espec, P(), P()),
+            in_specs=(P(), espec, bspec, bspec, bspec, P(), P()),
             out_specs=(P(), P()),
+            # manual-AD collectives (rgcn_tpu.ops.collectives) make the
+            # gradients exact without vma tracking, which the Pallas
+            # kernels require to be off
+            check_vma=False,
         )
         def loss_and_grads(params, edges, batch, labels, weights, self_mask, k_sl):
+            if use_pallas:
+                # per-shard Pallas layouts for the local edge slice
+                # (integer preprocessing, not differentiated)
+                import dataclasses
+
+                from rgcn_tpu.graph.dynamic import (
+                    _reverse_edge_set_dynamic,
+                    build_dst_layout_dynamic,
+                )
+
+                layout = build_dst_layout_dynamic(
+                    edges.dst, edges.num_nodes,
+                    row_block=row_block, chunk=edges.tile_size,
+                )
+                rev = _reverse_edge_set_dynamic(
+                    edges, row_block, edges.tile_size
+                )
+                edges = dataclasses.replace(edges, layout=layout, reverse=rev)
+
             def loss_fn(p):
                 scores, penalty = model.apply(
                     p,
@@ -175,7 +228,7 @@ def make_sharded_lp_step(
                 # local sum over the batch shard; static global count `real`
                 local = jnp.sum(bce * weights) / real
                 local = local + decoder_l2_weight * penalty
-                return jax.lax.psum(local, axis_name)
+                return all_reduce(local, all_axes)
 
             return jax.value_and_grad(loss_fn)(params)
 

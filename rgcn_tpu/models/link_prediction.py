@@ -57,6 +57,22 @@ class LinkPredictor(nn.Module):
     decoder_include_gain: bool = False
     decoder_bias_init: Optional[str] = None
     axis_name: Optional[str] = None
+    # Mesh axes the *scoring batch* is sharded over; defaults to
+    # ``axis_name``. On a 2-D (replica × edge) mesh the encoder reduces
+    # over the edge axis only while the batch spans every device, so the
+    # decoder's replicated-input gradients must psum over both axes
+    # (see rgcn_tpu.dist.multihost).
+    decoder_axis_name: Optional[object] = None
+    # 'auto' | 'pallas' | 'xla' — forwarded to every RGCNConv (see
+    # RGCNConv.backend); 'pallas' requires EdgeSets carrying layouts.
+    backend: str = "auto"
+
+    def _decoder_axes(self):
+        return (
+            self.decoder_axis_name
+            if self.decoder_axis_name is not None
+            else self.axis_name
+        )
 
     def setup(self):
         if not 0 < self.num_layers < 3:
@@ -87,6 +103,7 @@ class LinkPredictor(nn.Module):
             weight_init=self.decoder_weight_init,
             weight_gain=self.decoder_include_gain,
             bias_init=self.decoder_bias_init,
+            axis_name=self._decoder_axes(),
         )
 
     def _make_conv(self, r_aug: int, din: int, dout: int) -> RGCNConv:
@@ -105,6 +122,7 @@ class LinkPredictor(nn.Module):
             use_bias=self.bias_init is not None,
             self_loop_dropout=self.self_loop_dropout,
             axis_name=self.axis_name,
+            backend=self.backend,
         )
 
     def encode(
@@ -218,6 +236,7 @@ class CompressionRelationPredictor(LinkPredictor):
             weight_init=self.decoder_weight_init,
             weight_gain=self.decoder_include_gain,
             bias_init=self.decoder_bias_init,
+            axis_name=self._decoder_axes(),
         )
 
     def encode(

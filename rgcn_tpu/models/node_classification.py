@@ -40,6 +40,7 @@ class NodeClassifier(nn.Module):
     num_bases: int = 0
     num_blocks: int = 0
     axis_name: Optional[str] = None
+    backend: str = "auto"  # forwarded to RGCNConv (see RGCNConv.backend)
 
     def setup(self):
         if not 0 < self.num_layers < 3:
@@ -58,6 +59,7 @@ class NodeClassifier(nn.Module):
             weight_gain=True,
             bias_init="zeros",
             axis_name=self.axis_name,
+            backend=self.backend,
         )
         if self.num_layers == 2:
             self.rgc2 = RGCNConv(
@@ -111,6 +113,7 @@ class EmbeddingNodeClassifier(nn.Module):
     num_bases: int = 0
     num_blocks: int = 0
     axis_name: Optional[str] = None
+    backend: str = "auto"  # forwarded to RGCNConv (see RGCNConv.backend)
 
     def setup(self):
         r_aug = 2 * self.num_relations + 1
@@ -129,6 +132,7 @@ class EmbeddingNodeClassifier(nn.Module):
             weight_init="glorot-uniform",
             weight_gain=True,
             axis_name=self.axis_name,
+            backend=self.backend,
         )
         self.rgc1 = RGCNConv(
             num_nodes=self.num_nodes,
@@ -142,6 +146,7 @@ class EmbeddingNodeClassifier(nn.Module):
             weight_gain=True,
             bias_init="zeros",
             axis_name=self.axis_name,
+            backend=self.backend,
         )
 
     def __call__(self, edges: EdgeSet) -> jax.Array:

@@ -36,6 +36,7 @@ from rgcn_tpu.graph.structure import EdgeSet
 from rgcn_tpu.nn import init as rinit
 from rgcn_tpu.ops import spmm as spmm_ops
 from rgcn_tpu.ops import distmult as distmult_ops
+from rgcn_tpu.ops.collectives import maybe_all_reduce, maybe_fanout
 
 __all__ = ["RGCNConv", "DistMult", "TorchLinear"]
 
@@ -120,7 +121,8 @@ class RGCNConv(nn.Module):
                 "weights", w_init, (r_aug, din), self.param_dtype
             )
             agg = spmm_ops.rel_spmm_diag(
-                edges, x, weights[:-1], aggregate=self._aggregate_fn(edges)
+                edges, self._fan(x), self._fan(weights[:-1]),
+                aggregate=self._aggregate_fn(edges),
             )
             agg = self._reduce(agg)
             self_msg = x * weights[-1]
@@ -145,7 +147,7 @@ class RGCNConv(nn.Module):
                 # Never expand comps @ bases to (R', N, dout) — gigabytes on
                 # many-relation graphs (AM); contract per tile instead.
                 agg = spmm_ops.rel_spmm_featureless_basis(
-                    edges, bases, comps[:-1],
+                    edges, self._fan(bases), self._fan(comps[:-1]),
                     aggregate=self._aggregate_fn(edges),
                 )
                 agg = self._reduce(agg)
@@ -190,9 +192,18 @@ class RGCNConv(nn.Module):
         return aggregate_messages_ad
 
     def _reduce(self, agg: jax.Array) -> jax.Array:
-        if self.axis_name is not None:
-            agg = jax.lax.psum(agg, self.axis_name)
-        return agg
+        """Cross-shard reduction of edge-partial aggregates. Uses the
+        manual-AD :func:`~rgcn_tpu.ops.collectives.all_reduce` (backward =
+        identity); its counterpart :meth:`_fan` wraps every replicated
+        input to the per-shard edge computation. Together they make the
+        differentiated ``shard_map(check_vma=False)`` step exact — see
+        :mod:`rgcn_tpu.ops.collectives` for why vma checking is off."""
+        return maybe_all_reduce(agg, self.axis_name)
+
+    def _fan(self, x: jax.Array) -> jax.Array:
+        """Mark a replicated value entering per-shard edge computation
+        (backward = ``psum`` of the shards' partial cotangents)."""
+        return maybe_fanout(x, self.axis_name)
 
     def _masked_self(
         self,
@@ -212,7 +223,8 @@ class RGCNConv(nn.Module):
         if self.in_features is None:
             # Featureless: weights are (R', N, dout); gather rows.
             agg = spmm_ops.rel_spmm_featureless(
-                edges, weights[:-1], aggregate=self._aggregate_fn(edges)
+                edges, self._fan(weights[:-1]),
+                aggregate=self._aggregate_fn(edges),
             )
             agg = self._reduce(agg)
             self_msg = weights[-1]  # X = I → node v receives W_self[v]
@@ -220,9 +232,13 @@ class RGCNConv(nn.Module):
             if self._use_pallas(edges) and edges.reverse is not None:
                 from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_ad
 
-                agg = rel_spmm_pallas_ad(edges, x, weights[:-1])
+                agg = rel_spmm_pallas_ad(
+                    edges, self._fan(x), self._fan(weights[:-1])
+                )
             else:
-                agg = spmm_ops.rel_spmm(edges, x, weights[:-1])
+                agg = spmm_ops.rel_spmm(
+                    edges, self._fan(x), self._fan(weights[:-1])
+                )
             agg = self._reduce(agg)
             self_msg = x @ weights[-1]
         return agg + self._masked_self(self_msg, self_mask, deterministic)
@@ -260,7 +276,8 @@ class RGCNConv(nn.Module):
                 "self_weight", blk_init, (din, dout), self.param_dtype
             )
             agg = spmm_ops.rel_spmm_block(
-                edges, x, blocks, aggregate=self._aggregate_fn(edges)
+                edges, self._fan(x), self._fan(blocks),
+                aggregate=self._aggregate_fn(edges),
             )
             agg = self._reduce(agg)
             self_msg = x @ self_weight
@@ -275,7 +292,8 @@ class RGCNConv(nn.Module):
                 self.param_dtype,
             )
             agg = spmm_ops.rel_spmm_block(
-                edges, x, blocks[:-1], aggregate=self._aggregate_fn(edges)
+                edges, self._fan(x), self._fan(blocks[:-1]),
+                aggregate=self._aggregate_fn(edges),
             )
             agg = self._reduce(agg)
             xb = x.reshape(self.num_nodes, self.num_blocks, ib)
@@ -299,6 +317,14 @@ class DistMult(nn.Module):
     weight_gain: bool = False
     bias_init: Optional[str] = None
     param_dtype: jnp.dtype = jnp.float32
+    # When scoring a *sharded* triple batch inside a differentiated
+    # shard_map(check_vma=False): replicated inputs (node embeddings,
+    # relation weights, biases) must be fanout-marked so their gradients
+    # psum the per-shard partials (see rgcn_tpu.ops.collectives).
+    axis_name: Optional[str] = None
+
+    def _fan(self, x):
+        return maybe_fanout(x, self.axis_name)
 
     def setup(self):
         gain = rinit.relu_gain() if self.weight_gain else 1.0
@@ -315,9 +341,12 @@ class DistMult(nn.Module):
             self.sbias = self.obias = self.pbias = None
 
     def __call__(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
+        fan = self._fan
         return distmult_ops.distmult_score(
-            triples, nodes, self.relations,
-            sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+            triples, fan(nodes), fan(self.relations),
+            sbias=None if self.sbias is None else fan(self.sbias),
+            pbias=None if self.pbias is None else fan(self.pbias),
+            obias=None if self.obias is None else fan(self.obias),
         )
 
     def s_penalty(
@@ -338,9 +367,11 @@ class DistMult(nn.Module):
         s = triples[..., 0]
         p = triples[..., 1]
         o = triples[..., 2]
+        nodes = self._fan(nodes)
+        relations = self._fan(self.relations)
         per_row = (
             jnp.mean(nodes[s] ** 2, axis=-1)
-            + jnp.mean(self.relations[p] ** 2, axis=-1)
+            + jnp.mean(relations[p] ** 2, axis=-1)
             + jnp.mean(nodes[o] ** 2, axis=-1)
         )
         if weights is None:

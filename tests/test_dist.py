@@ -194,3 +194,98 @@ def test_prepare_sharded_layouts_pallas_forward(mesh):
 
     got = np.asarray(fwd(params, es_s, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_nc_step_pallas_matches_single_device(mesh):
+    """Sharded NC training through the Pallas kernels (interpret mode on
+    CPU) == single-device XLA step — the round-2 vma unlock: the custom-VJP
+    kernels run inside the differentiated shard_map(check_vma=False) with
+    the manual-AD collectives supplying exact gradients."""
+    from rgcn_tpu.dist.mesh import prepare_sharded_layouts
+
+    rng = np.random.default_rng(23)
+    n, r, c = 40, 5, 3
+    triples = make_random_triples(rng, n, r, 150)
+    train_idx = jnp.asarray(rng.choice(n, 12, replace=False))
+    train_lbl = jnp.asarray(rng.integers(0, c, 12))
+
+    kwargs = dict(num_nodes=n, num_relations=r, num_classes=c, hidden_size=8)
+    model_s = NodeClassifier(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = NodeClassifier(**kwargs)
+
+    es_1 = build_edge_set(triples, n, r, tile_size=8)
+    es_s = build_edge_set(triples, n, r, tile_size=8, tile_multiple=N_DEV)
+    es_s = prepare_sharded_layouts(shard_edge_set(es_s, mesh), mesh, row_block=8)
+
+    params = model_1.init(jax.random.key(0), es_1)
+    tx = make_optimizer("sgd", 0.01)
+
+    def loss_1(p):
+        logits = model_1.apply(p, es_1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], train_lbl
+        ).mean() + 0.01 * model_1.layer1_l2(p)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    step = make_sharded_nc_step(
+        model_s, tx, mesh, train_idx, train_lbl, layer1_l2=0.01
+    )
+    params_s, _, loss_s = step(params, tx.init(params), es_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+    tree_allclose(params_s, params_ref)
+
+
+def test_sharded_lp_step_pallas_matches_single_device(mesh):
+    """Sharded LP training with per-shard in-jit Pallas layouts == the
+    single-device step (backend='pallas' end to end)."""
+    rng = np.random.default_rng(24)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    bsz, num_neg, tile = 24, 3, 8
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = LinkPredictor(**kwargs)
+
+    positives = jnp.asarray(triples[:bsz])
+    init_edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+    params = model_1.init({"params": jax.random.key(1)}, init_edges, positives)
+    tx = make_optimizer("sgd", 0.01)
+    key = jax.random.key(9)
+
+    def single_step(params, opt_state, positives, key):
+        k_neg, _, _, _ = jax.random.split(key, 4)
+        batch, labels = corrupt_batch(k_neg, positives, n, num_neg, 0.5)
+        edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+
+        def loss_fn(p):
+            scores, penalty = model_1.apply(p, edges, batch, deterministic=True)
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+                + 0.01 * penalty
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params_ref, _, loss_ref = single_step(params, tx.init(params), positives, key)
+
+    step = make_sharded_lp_step(
+        model_s, tx, mesh,
+        num_nodes=n, num_rels=r, tile_size=tile,
+        num_negatives=num_neg, head_prob=0.5,
+        decoder_l2_weight=0.01, backend="pallas", row_block=8,
+    )
+    params_s, _, loss_s = step(params, tx.init(params), positives, key)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
