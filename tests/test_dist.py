@@ -289,3 +289,68 @@ def test_sharded_lp_step_pallas_matches_single_device(mesh):
 
     np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
     tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_lp_step_2d_mesh_matches_single_device():
+    """2-D (replica x edge) mesh: EdgeSet sharded over the edge axis,
+    scoring batch over all 8 devices, decoder/loss reductions over both
+    axes — numerically exact vs the single-device step."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    from rgcn_tpu.dist.multihost import REPLICA_AXIS, make_mesh_2d
+
+    mesh2 = make_mesh_2d(num_replicas=2, edge_size=4)
+    assert mesh2.shape == {REPLICA_AXIS: 2, EDGE_AXIS: 4}
+
+    rng = np.random.default_rng(25)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    bsz, num_neg, tile = 24, 3, 8  # 96 scoring rows over 8 shards
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(
+        axis_name=EDGE_AXIS,
+        decoder_axis_name=(REPLICA_AXIS, EDGE_AXIS),
+        **kwargs,
+    )
+    model_1 = LinkPredictor(**kwargs)
+
+    positives = jnp.asarray(triples[:bsz])
+    init_edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+    params = model_1.init({"params": jax.random.key(1)}, init_edges, positives)
+    tx = make_optimizer("sgd", 0.01)
+    key = jax.random.key(11)
+
+    def single_step(params, opt_state, positives, key):
+        k_neg, _, _, _ = jax.random.split(key, 4)
+        batch, labels = corrupt_batch(k_neg, positives, n, num_neg, 0.5)
+        edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+
+        def loss_fn(p):
+            scores, penalty = model_1.apply(p, edges, batch, deterministic=True)
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+                + 0.01 * penalty
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params_ref, _, loss_ref = single_step(params, tx.init(params), positives, key)
+
+    step = make_sharded_lp_step(
+        model_s, tx, mesh2,
+        num_nodes=n, num_rels=r, tile_size=tile,
+        num_negatives=num_neg, head_prob=0.5,
+        decoder_l2_weight=0.01,
+    )
+    params_s, _, loss_s = step(params, tx.init(params), positives, key)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
