@@ -1,5 +1,10 @@
 # Convenience targets. See CLAUDE.md for environment notes.
-.PHONY: test native bench bench-quick smoke clean
+.PHONY: test native bench bench-quick smoke parity tpu-smoke clean
+
+# Runs the 12 shipped configs against datasets under data/ and diffs the
+# metrics against BASELINE.md; configs without data are SKIPPED.
+parity:
+	python benchmarks/parity.py
 
 test:
 	python -m pytest tests/ -q

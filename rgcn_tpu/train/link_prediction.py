@@ -302,18 +302,37 @@ def train_link_predictor(
             train_np, batch_size, np.random.default_rng((seed, epoch))
         )
 
+    # Background sampling pipeline: each epoch's subgraph is drawn by a
+    # worker thread 1-2 epochs ahead while the device executes earlier
+    # steps. Per-epoch RNG (seeded on (seed, epoch)) keeps the schedule
+    # bit-identical to synchronous sampling regardless of thread timing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    prefetch_depth = 2
+    pending = {}
+
+    def get_positives(epoch):
+        fut = pending.pop(epoch, None)
+        out = fut.result() if fut is not None else sample_epoch(epoch)
+        for e in range(epoch + 1, min(epoch + 1 + prefetch_depth, epochs + 1)):
+            if e not in pending:
+                pending[e] = pool.submit(sample_epoch, e)
+        return out
+
     mrr, hits, ranks = 0.0, (0.0, 0.0, 0.0), np.array([])
-    positives = sample_epoch(start_epoch)
+    positives = get_positives(start_epoch)
     for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(positives), sub
         )
-        # sample the NEXT epoch's subgraph while the device executes this
-        # step (dispatch is async; the loss fetch below is the sync point)
+        # the NEXT epoch's subgraph is (being) sampled in the background
+        # while the device executes this step; the loss fetch is the sync
+        # point
         if epoch < epochs:
-            positives = sample_epoch(epoch + 1)
+            positives = get_positives(epoch + 1)
         loss = float(loss)
         t2 = time.time()
 
@@ -350,6 +369,7 @@ def train_link_predictor(
                 f"[Epoch {epoch}] Loss: {loss:.5f} Step: {(t2 - t1):.3f}s"
             )
 
+    pool.shutdown(wait=False, cancel_futures=True)
     logger.info("Starting final evaluation...")
     mrr, hits, ranks = evaluate_link_predictor(
         model, params, eval_edges, test_np, filters,

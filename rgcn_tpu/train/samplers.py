@@ -32,12 +32,38 @@ def uniform_sampling(
     return triples[idx]
 
 
+# vertex→incident-edges structure cache: the training loop calls the
+# sampler every epoch with the SAME triple array, and the incidence build
+# (argsort over 2E entries) dominates the per-epoch cost otherwise. Keyed
+# on (buffer address, shape) — stable for a live array object.
+_INCIDENCE_CACHE: dict = {}
+
+
+def _incidence(triples: np.ndarray, num_nodes: int):
+    key = (triples.__array_interface__["data"][0], triples.shape, num_nodes)
+    hit = _INCIDENCE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n_edges = len(triples)
+    heads, tails = triples[:, 0], triples[:, 2]
+    inc_idx = np.concatenate([heads, tails])
+    inc_edge = np.concatenate([np.arange(n_edges), np.arange(n_edges)])
+    order = np.argsort(inc_idx, kind="stable")
+    inc_idx, inc_edge = inc_idx[order], inc_edge[order]
+    starts = np.searchsorted(inc_idx, np.arange(num_nodes + 1))
+    degrees = (starts[1:] - starts[:-1]).astype(np.int64)
+    out = (inc_edge, starts, degrees)
+    _INCIDENCE_CACHE.clear()  # keep exactly one graph resident
+    _INCIDENCE_CACHE[key] = out
+    return out
+
+
 def edge_neighborhood(
     triples: np.ndarray,
     sample_size: int,
     rng: np.random.Generator,
     num_nodes: Optional[int] = None,
-    chunk: int = 1024,
+    chunk: int = 2048,
 ) -> np.ndarray:
     """Weighted vertex-expansion sampling (``misc.py:125-172``).
 
@@ -56,14 +82,7 @@ def edge_neighborhood(
 
     # incidence: vertex -> edge ids (subject or object, like the reference's
     # adj_list built from columns 0 and 2)
-    heads, tails = triples[:, 0], triples[:, 2]
-    inc_idx = np.concatenate([heads, tails])
-    inc_edge = np.concatenate([np.arange(n_edges), np.arange(n_edges)])
-    order = np.argsort(inc_idx, kind="stable")
-    inc_idx, inc_edge = inc_idx[order], inc_edge[order]
-    starts = np.searchsorted(inc_idx, np.arange(num_nodes + 1))
-
-    degrees = (starts[1:] - starts[:-1]).astype(np.int64)
+    inc_edge, starts, degrees = _incidence(triples, num_nodes)
     sample_counts = degrees.copy()
     seen = np.zeros(num_nodes, dtype=bool)
     picked = np.zeros(n_edges, dtype=bool)
@@ -101,8 +120,11 @@ def edge_neighborhood(
             chosen.append(picks)
             n_chosen += len(picks)
             a, b = triples[picks, 0], triples[picks, 2]
-            np.subtract.at(sample_counts, a, 1)
-            np.subtract.at(sample_counts, b, 1)
+            # bincount beats ufunc.at by an order of magnitude here
+            dec = np.bincount(
+                np.concatenate([a, b]), minlength=num_nodes
+            )
+            sample_counts -= dec
             seen[a] = True
             seen[b] = True
         seen[verts] = True

@@ -45,3 +45,9 @@ def make_random_triples(rng, num_nodes, num_rels, num_edges, unique=True):
     if unique:
         t = np.unique(t, axis=0)
     return t.astype(np.int64)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (subprocess drives)"
+    )

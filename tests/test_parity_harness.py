@@ -1,0 +1,43 @@
+"""The real-dataset parity harness must be ready the moment datasets
+exist: it runs every shipped config end-to-end on fabricated miniature
+datasets (reference file formats), and skips gracefully when data is
+absent. (CI proof for benchmarks/parity.py — real numbers need the real
+datasets, BASELINE.md.)"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS = os.path.join(REPO, "benchmarks", "parity.py")
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, HARNESS, "--cpu", *args],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+
+
+def test_harness_skips_without_data(tmp_path):
+    out = _run(["--data-root", str(tmp_path), "--json-out",
+                str(tmp_path / "r.json")])
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = json.load(open(tmp_path / "r.json"))
+    assert len(rows) == 12
+    assert all(r["status"] == "SKIPPED (no data)" for r in rows)
+
+
+@pytest.mark.slow
+def test_harness_runs_fabricated(tmp_path):
+    out = _run(["--fabricate", "--only", "rgcn/nc-AIFB", "--json-out",
+                str(tmp_path / "r.json")])
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = json.load(open(tmp_path / "r.json"))
+    ok = [r for r in rows if r["status"] == "OK"]
+    # substring filter matches rgcn/nc-AIFB and e-rgcn/nc-AIFB
+    assert len(ok) == 2
+    assert all(r["metric"] == "accuracy_pct" for r in ok)
