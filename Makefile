@@ -6,6 +6,12 @@
 parity:
 	python benchmarks/parity.py
 
+# Real-hardware kernel gate: every Pallas variant + one train step on the
+# actual chip, numerics asserted against the XLA oracle. Seconds on a warm
+# compile cache; run before trusting bench numbers after kernel changes.
+tpu-smoke:
+	timeout 1800 python benchmarks/tpu_smoke.py
+
 test:
 	python -m pytest tests/ -q
 

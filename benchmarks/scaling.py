@@ -113,6 +113,17 @@ def main():
         eps = es.num_edges / per
         results[ndev] = eps
         eff = eps / (results[min(results)] * ndev / min(results))
+
+        # Analytic per-step collective traffic (ring model): with real pod
+        # numbers (ICI ~100s GB/s per link) this predicts whether the
+        # >=75% @ 2+ hosts target holds before hardware exists.
+        from rgcn_tpu.dist.multihost import collective_bytes_per_step
+
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        coll = collective_bytes_per_step(
+            num_nodes=n, hidden_sizes=[d], num_params=n_params,
+            edge_size=ndev, num_replicas=1,
+        )
         print(
             json.dumps(
                 {
@@ -120,6 +131,7 @@ def main():
                     "edges_per_s": round(eps, 1),
                     "per_step_ms": round(per * 1e3, 3),
                     "efficiency_vs_1": round(eff, 3),
+                    **coll,
                 }
             ),
             flush=True,

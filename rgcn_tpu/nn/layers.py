@@ -120,10 +120,18 @@ class RGCNConv(nn.Module):
             weights = self.param(
                 "weights", w_init, (r_aug, din), self.param_dtype
             )
-            agg = spmm_ops.rel_spmm_diag(
-                edges, self._fan(x), self._fan(weights[:-1]),
-                aggregate=self._aggregate_fn(edges),
-            )
+            if self._use_pallas(edges) and edges.reverse is not None:
+                # permute-free sorted-order messages (ops/pallas_diag.py)
+                from rgcn_tpu.ops.pallas_diag import rel_spmm_diag_ad
+
+                agg = rel_spmm_diag_ad(
+                    edges, self._fan(x), self._fan(weights[:-1])
+                )
+            else:
+                agg = spmm_ops.rel_spmm_diag(
+                    edges, self._fan(x), self._fan(weights[:-1]),
+                    aggregate=self._aggregate_fn(edges),
+                )
             agg = self._reduce(agg)
             self_msg = x * weights[-1]
             out = agg + self._masked_self(self_msg, self_mask, deterministic)
@@ -153,6 +161,20 @@ class RGCNConv(nn.Module):
                 agg = self._reduce(agg)
                 self_msg = jnp.einsum("b,bio->io", comps[-1], bases)
                 out = agg + self._masked_self(self_msg, self_mask, deterministic)
+            elif self._use_pallas(edges) and edges.reverse is not None:
+                # Aggregation-first basis path: no weight expansion, no
+                # relation grouping — see rgcn_tpu.ops.pallas_basis.
+                from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_ad
+
+                agg = rel_spmm_basis_ad(
+                    edges, self._fan(x), self._fan(bases),
+                    self._fan(comps[:-1]), compute_dtype=None,
+                )
+                agg = self._reduce(agg)
+                self_msg = x @ jnp.einsum("b,bio->io", comps[-1], bases)
+                out = agg + self._masked_self(
+                    self_msg, self_mask, deterministic
+                )
             else:
                 weights = jnp.einsum("rb,bio->rio", comps, bases)
                 out = self._dense_path(

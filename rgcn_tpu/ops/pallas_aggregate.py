@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "DstLayout",
     "build_dst_layout",
+    "aggregate_presorted_pallas",
     "aggregate_sorted_pallas",
     "aggregate_messages_ad",
 ]
@@ -155,32 +156,26 @@ def _agg_kernel(chunk_block_ref, local_ref, msgs_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-def aggregate_sorted_pallas(
-    messages: jax.Array,
+def aggregate_presorted_pallas(
+    msgs_sorted: jax.Array,
     layout: DstLayout,
     num_nodes: int,
     *,
     out_dtype: jnp.dtype = jnp.float32,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Aggregate per-edge ``messages (E, dout)`` into ``(num_nodes, dout)``.
+    """Aggregate *already destination-sorted* messages ``(L, dout)``.
 
-    ``messages`` are in edge order; the layout's permutation (computed once
-    at preprocessing) re-orders them destination-sorted. Pad slots gather
-    message row ``E`` — callers must NOT rely on clamping; we append an
-    explicit zero row instead.
-    """
+    For message computations cheap enough to evaluate per layout slot
+    (diag, basis contractions), computing them directly in sorted order
+    skips the edge-order materialization + permutation round-trip that
+    :func:`aggregate_sorted_pallas` pays."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    dout = messages.shape[-1]
+    dout = msgs_sorted.shape[-1]
     ch = layout.chunk
     rb = layout.row_block
     n_chunks = layout.num_chunks
-
-    msgs_z = jnp.concatenate(
-        [messages, jnp.zeros((1, dout), messages.dtype)], axis=0
-    )
-    msgs_sorted = msgs_z[layout.perm]  # (L, dout) destination-sorted
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -216,6 +211,32 @@ def aggregate_sorted_pallas(
     )(layout.chunk_block, layout.local_dst.reshape(n_chunks, 1, ch), msgs_sorted)
 
     return out[:num_nodes]
+
+
+def aggregate_sorted_pallas(
+    messages: jax.Array,
+    layout: DstLayout,
+    num_nodes: int,
+    *,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Aggregate per-edge ``messages (E, dout)`` into ``(num_nodes, dout)``.
+
+    ``messages`` are in edge order; the layout's permutation (computed once
+    at preprocessing) re-orders them destination-sorted. Pad slots gather
+    message row ``E`` — callers must NOT rely on clamping; we append an
+    explicit zero row instead.
+    """
+    dout = messages.shape[-1]
+    msgs_z = jnp.concatenate(
+        [messages, jnp.zeros((1, dout), messages.dtype)], axis=0
+    )
+    msgs_sorted = msgs_z[layout.perm]  # (L, dout) destination-sorted
+    return aggregate_presorted_pallas(
+        msgs_sorted, layout, num_nodes,
+        out_dtype=out_dtype, interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,223 @@
+"""Aggregation-first basis-decomposition SpMM (Pallas).
+
+For basis decomposition the relational SpMM factorizes so that the
+*aggregation happens before any weight matmul*:
+
+    out[s] = Σ_e val_e · x[src_e] @ (Σ_b comps[rel_e, b] · B_b)
+           = Σ_b ( Σ_e (val_e · comps[rel_e, b]) · x[src_e] )[s] @ B_b
+             \\_________________ Agg_b ___________________/
+
+(matches the math of ``/root/reference/torch_rgcn/layers.py:242,532-551``
+with the basis sum pulled out of the edge sum). Consequences on TPU:
+
+* The edge stage needs **no relation grouping at all** — a plain
+  destination-sorted layout (:class:`~rgcn_tpu.ops.pallas_aggregate.DstLayout`)
+  with per-edge *scalars* ``w_be = val_e · comps[rel_e, b]``. No relation
+  quanta, no per-quantum weight slices, no run padding.
+* All matmul FLOPs move into ``nb`` dense ``(N, din) @ (din, dout)``
+  products — full-MXU shapes — instead of per-edge small matmuls.
+* Weights never need to be VMEM-resident, so the path scales to arbitrary
+  relation vocabularies (AM: 266 relations) where the dense fused kernel's
+  ``R·din·dout`` VMEM residency breaks.
+
+The kernel is a *weighted* one-hot aggregation: per chunk it builds the
+``(RB, CH)`` destination one-hot once, scales it by each basis' per-edge
+weight vector, and accumulates ``nb`` MXU matmuls against the gathered
+source rows. The backward pass reuses the same kernel over the reversed
+edge structure (``sum_bases=True`` mode) — aggregation is linear.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rgcn_tpu.graph.structure import EdgeSet
+from rgcn_tpu.ops.pallas_aggregate import DstLayout
+
+__all__ = ["weighted_aggregate_pallas", "rel_spmm_basis_ad"]
+
+
+def weighted_aggregate_pallas(
+    xg_sorted: jax.Array,  # (L, din) or (nb, L, din) dst-sorted source rows
+    weights: jax.Array,  # (nb, L) per-slot scalars (0 on pads)
+    layout: DstLayout,
+    num_nodes: int,
+    *,
+    sum_bases: bool = False,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``Agg[b, s] = Σ_{slot: dst=s} weights[b, slot] · xg_sorted[(b,) slot]``.
+
+    Returns ``(nb, num_nodes, din)``, or ``(1, num_nodes, din)`` summed over
+    ``b`` when ``sum_bases`` (the backward direction).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    shared_x = xg_sorted.ndim == 2
+    nb = weights.shape[0]
+    din = xg_sorted.shape[-1]
+    ch = layout.chunk
+    rb = layout.row_block
+    n_chunks = layout.num_chunks
+    nx = 1 if shared_x else nb
+    n_out = 1 if sum_bases else nb
+
+    if compute_dtype is not None:
+        xg_sorted = xg_sorted.astype(compute_dtype)
+    xg = xg_sorted.reshape(nx, n_chunks, ch, din)
+    w = weights.reshape(nb, n_chunks, 1, ch).transpose(1, 2, 0, 3)
+    local = jnp.asarray(layout.local_dst).reshape(n_chunks, 1, ch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # chunk_block
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, ch), lambda c, cb: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, nb, ch), lambda c, cb: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nx, 1, ch, din), lambda c, cb: (0, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out, rb, din), lambda c, cb: (0, cb[c], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    # kernel sees: local (1,1,ch), w (1,1,nb,ch)->[0,b]=w[0,0,b], xg (nx,1,ch,din)
+    def kernel(cb_ref, local_ref, w_ref, xg_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(
+            jnp.logical_or(c == 0, cb_ref[c] != cb_ref[jnp.maximum(c - 1, 0)])
+        )
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rb, ch), 0)
+        onehot = (rows == local_ref[0, 0][None, :]).astype(xg_ref.dtype)
+        for b in range(nb):
+            scaled = onehot * w_ref[0, 0, b][None, :].astype(xg_ref.dtype)
+            xgb = xg_ref[0 if shared_x else b, 0]
+            part = jnp.dot(
+                scaled, xgb, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+            if sum_bases:
+                out_ref[0] += part
+            else:
+                out_ref[b] += part
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, layout.num_row_blocks * rb, din), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n_chunks * rb * ch * din,
+            bytes_accessed=(
+                nx * xg_sorted.size // nx * xg_sorted.dtype.itemsize
+                + n_out * layout.num_row_blocks * rb * din * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layout.chunk_block), local, w, xg)
+
+    return out[:, :num_nodes]
+
+
+def _sorted_inputs(edges: EdgeSet, comps: jax.Array):
+    """Destination-sorted per-slot (source index, basis weights)."""
+    layout = edges.layout
+    perm = jnp.asarray(layout.perm)
+    src_z = jnp.concatenate([edges.src, jnp.zeros((1,), edges.src.dtype)])
+    wvec = edges.val[:, None] * comps[edges.rel]  # (E_pad, nb)
+    wvec_z = jnp.concatenate(
+        [wvec, jnp.zeros((1, comps.shape[1]), wvec.dtype)]
+    )
+    return src_z[perm], wvec_z[perm].T  # (L,), (nb, L)
+
+
+def _basis_fwd_impl(x, params, edges, compute_dtype):
+    bases, comps = params
+    src_sorted, wvec = _sorted_inputs(edges, comps)
+    xg = x[src_sorted]  # (L, din) — the one gather
+    agg = weighted_aggregate_pallas(
+        xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype
+    )  # (nb, N, din)
+    out = jnp.einsum("bni,bio->no", agg, bases)
+    return out, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _basis_ad_core(x, params, edges, compute_dtype):
+    return _basis_fwd_impl(x, params, edges, compute_dtype)[0]
+
+
+def _basis_ad_fwd(x, params, edges, compute_dtype):
+    out, agg = _basis_fwd_impl(x, params, edges, compute_dtype)
+    return out, (x, params, edges, agg)
+
+
+def _basis_ad_bwd(compute_dtype, res, g):
+    x, (bases, comps), edges, agg = res
+    num_nodes = edges.num_nodes
+
+    # d bases: Agg_b^T @ g
+    dbases = jnp.einsum("bni,no->bio", agg, g).astype(bases.dtype)
+
+    # cotangent rows per basis: G_b = g @ B_b^T  (N, din)
+    G = jnp.einsum("no,bio->bni", g, bases)  # (nb, N, din)
+
+    # d x: the same weighted aggregation over the reversed edge structure,
+    # summed over bases (aggregation is linear in x).
+    rev = edges.reverse
+    rsrc_sorted, rwvec = _sorted_inputs(rev, comps)
+    Gg = jnp.swapaxes(G, 0, 1)[rsrc_sorted]  # (L', nb, din)
+    dx = weighted_aggregate_pallas(
+        jnp.swapaxes(Gg, 0, 1), rwvec, rev.layout, num_nodes,
+        sum_bases=True, compute_dtype=compute_dtype,
+    )[0]
+
+    # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>
+    xs = x[edges.src]  # (E_pad, din)
+    Gd = jnp.swapaxes(G, 0, 1)[jnp.clip(edges.dst, 0, num_nodes - 1)]
+    t = jnp.einsum("ei,ebi->eb", xs, Gd) * edges.val[:, None]
+    dcomps = jax.ops.segment_sum(
+        t, edges.rel, num_segments=comps.shape[0]
+    ).astype(comps.dtype)
+
+    return dx.astype(x.dtype), (dbases, dcomps), None
+
+
+_basis_ad_core.defvjp(_basis_ad_fwd, _basis_ad_bwd)
+
+
+def rel_spmm_basis_ad(edges: EdgeSet, x: jax.Array, bases, comps,
+                      compute_dtype=jnp.bfloat16):
+    """Differentiable aggregation-first basis SpMM.
+
+    ``bases (nb, din, dout)`` / ``comps (num_rels, nb)`` cover general
+    relations only — the self-loop term is the caller's. ``edges`` must
+    carry ``layout`` and ``reverse`` (``with_dst_layout=True``).
+    """
+    if edges.layout is None or edges.reverse is None:
+        raise ValueError(
+            "rel_spmm_basis_ad needs an EdgeSet built with "
+            "with_dst_layout=True (layout + reverse present)"
+        )
+    return _basis_ad_core(x, (bases, comps), edges, compute_dtype)

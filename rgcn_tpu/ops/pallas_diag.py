@@ -1,0 +1,81 @@
+"""Permute-free diagonal-weight SpMM (e-RGCN first layer).
+
+Diagonal messages (``x[src] ⊙ dw[rel] · val``, reference
+``torch_rgcn/layers.py:289-292``) are cheap enough to evaluate *directly in
+destination-sorted slot order*: XLA fuses the two gathers and the products
+into the message write, which then feeds the Pallas one-hot aggregation
+without the edge-order materialization + permutation round-trip the generic
+path pays (two extra HBM passes over an ``(L, d)`` tensor).
+
+Backward: aggregation and the diagonal product are linear —
+
+* ``dx``   = the same permute-free pipeline over the reversed edge
+  structure (cotangent rows in place of features);
+* ``d dw`` = per-relation ``Σ_e val_e · x[src_e] ⊙ g[dst_e]`` — a fused
+  elementwise product + relation ``segment_sum`` in edge order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rgcn_tpu.graph.structure import EdgeSet
+from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+__all__ = ["rel_spmm_diag_ad"]
+
+
+def _slot_arrays(edges: EdgeSet):
+    """Destination-sorted per-slot (src, rel, val); pads → (0, 0, 0.0)."""
+    perm = jnp.asarray(edges.layout.perm)
+    src_z = jnp.concatenate([edges.src, jnp.zeros((1,), edges.src.dtype)])
+    rel_z = jnp.concatenate([edges.rel, jnp.zeros((1,), edges.rel.dtype)])
+    val_z = jnp.concatenate([edges.val, jnp.zeros((1,), edges.val.dtype)])
+    return src_z[perm], rel_z[perm], val_z[perm]
+
+
+def _diag_sorted_agg(x, dw, edges):
+    src_s, rel_s, val_s = _slot_arrays(edges)
+    msgs = x[src_s] * dw[rel_s] * val_s[:, None]
+    return aggregate_presorted_pallas(msgs, edges.layout, edges.num_nodes)
+
+
+@jax.custom_vjp
+def _diag_ad_core(x, dw, edges):
+    return _diag_sorted_agg(x, dw, edges)
+
+
+def _diag_ad_fwd(x, dw, edges):
+    return _diag_ad_core(x, dw, edges), (x, dw, edges)
+
+
+def _diag_ad_bwd(res, g):
+    x, dw, edges = res
+    g = g.astype(x.dtype)
+
+    dx = _diag_sorted_agg(g, dw, edges.reverse).astype(x.dtype)
+
+    t = x[edges.src] * (g[jnp.clip(edges.dst, 0, edges.num_nodes - 1)]
+                        * edges.val[:, None])
+    ddw = jax.ops.segment_sum(
+        t, edges.rel, num_segments=dw.shape[0]
+    ).astype(dw.dtype)
+    return dx, ddw, None
+
+
+_diag_ad_core.defvjp(_diag_ad_fwd, _diag_ad_bwd)
+
+
+def rel_spmm_diag_ad(edges: EdgeSet, x: jax.Array, diag_weights: jax.Array):
+    """Differentiable permute-free diagonal relational SpMM.
+
+    Requires ``edges.layout`` and ``edges.reverse``
+    (``with_dst_layout=True``).
+    """
+    if edges.layout is None or edges.reverse is None:
+        raise ValueError(
+            "rel_spmm_diag_ad needs an EdgeSet built with "
+            "with_dst_layout=True (layout + reverse present)"
+        )
+    return _diag_ad_core(x, diag_weights, edges)

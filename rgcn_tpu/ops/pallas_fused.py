@@ -145,10 +145,12 @@ def build_fused_layout(
     val_f[pos] = val
     local[pos] = (dst - rb * row_block).astype(np.int32)
 
-    # per-quantum relation: scatter run rel over its quanta; pad quanta get
-    # relation 0 (harmless: val = 0)
+    # per-quantum relation: scatter run rel over its quanta; quanta outside
+    # every run (block chunk-rounding gaps) get -1 — the kernel skips their
+    # message matmuls entirely (their slots carry local_dst == row_block,
+    # dropped by the one-hot regardless)
     n_quanta = total // quantum
-    qrel = np.zeros(n_quanta, dtype=np.int32)
+    qrel = np.full(n_quanta, -1, dtype=np.int32)
     for i in range(n_runs):
         q0 = run_off[i] // quantum
         qn = run_pad[i] // quantum
@@ -280,13 +282,16 @@ def build_fused_layout_dynamic(
 
     # per-quantum relation: the run whose [run_off, run_off + run_pad) span
     # covers the quantum start; gap quanta (between a block's runs and its
-    # chunk padding) inherit the previous run's relation — harmless, their
-    # val is 0.
+    # chunk padding) get -1 so the kernel skips their message matmuls (the
+    # one-hot drops their slots regardless).
     q_starts = jnp.arange(n_quanta, dtype=jnp.int32) * quantum
     q_run = jnp.clip(
         jnp.searchsorted(run_off, q_starts, side="right") - 1, 0, b_runs - 1
     )
-    qrel = run_rel[q_run]
+    q_in_run = (run_len[q_run] > 0) & (
+        q_starts < run_off[q_run] + run_pad[q_run]
+    )
+    qrel = jnp.where(q_in_run, run_rel[q_run], -1)
 
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     chunk_block = jnp.searchsorted(cum_blk, chunk_starts, side="right")
@@ -320,16 +325,29 @@ def _make_fused_kernel(quantum: int):
 
         ch = xg_ref.shape[1]
         qpc = ch // quantum
-        # messages per quantum: dynamic VMEM slice of the resident weights
+        # messages per quantum: dynamic VMEM slice of the resident weights.
+        # All-pad quanta (relation id < 0 in the layout) skip the matmul and
+        # just zero their scratch slots (their local_dst == row_block, so the
+        # one-hot drops the column — but 0 * garbage would still poison the
+        # accumulation if the scratch held NaNs).
         for qi in range(qpc):  # static unroll
             rel_q = qrel_ref[c * qpc + qi]
-            w_q = w_ref[rel_q]  # (din, dout) dynamic slice of VMEM block
-            xq = xg_ref[0, qi * quantum : (qi + 1) * quantum, :]
-            m = jnp.dot(xq, w_q, preferred_element_type=jnp.float32)
-            m = m * val_ref[0, 0, qi * quantum : (qi + 1) * quantum][:, None]
-            msgs_ref[qi * quantum : (qi + 1) * quantum, :] = m.astype(
-                msgs_ref.dtype
-            )
+
+            @pl.when(rel_q >= 0)
+            def _(qi=qi, rel_q=rel_q):
+                w_q = w_ref[jnp.maximum(rel_q, 0)]  # (din, dout) VMEM slice
+                xq = xg_ref[0, qi * quantum : (qi + 1) * quantum, :]
+                m = jnp.dot(xq, w_q, preferred_element_type=jnp.float32)
+                m = m * val_ref[0, 0, qi * quantum : (qi + 1) * quantum][:, None]
+                msgs_ref[qi * quantum : (qi + 1) * quantum, :] = m.astype(
+                    msgs_ref.dtype
+                )
+
+            @pl.when(rel_q < 0)
+            def _(qi=qi):
+                msgs_ref[qi * quantum : (qi + 1) * quantum, :] = jnp.zeros(
+                    (quantum, msgs_ref.shape[-1]), msgs_ref.dtype
+                )
 
         rb = out_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (rb, ch), 0)
