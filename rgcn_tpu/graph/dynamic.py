@@ -35,6 +35,18 @@ __all__ = [
 ]
 
 
+def _check_sort_key_range(num_general_rels: int, num_nodes: int) -> None:
+    """The in-jit (relation, receiver) sorts use an int32 composite key
+    ``rel * (N + 1) + dst``; raise (at trace time) for graphs where it
+    would overflow instead of silently corrupting the sort."""
+    if num_general_rels * (num_nodes + 1) >= 2**31:
+        raise ValueError(
+            f"(rel, dst) sort key overflows int32: {num_general_rels} "
+            f"general relations x {num_nodes} nodes; file an issue — this "
+            "needs a two-pass stable sort fallback"
+        )
+
+
 def padded_size(
     num_edges: int,
     num_general_rels: int,
@@ -92,18 +104,22 @@ def build_edge_set_dynamic(
         keep = jnp.ones((bsz,), dtype=jnp.float32)
     mask = jnp.concatenate([keep, keep])  # inverse shares its original's fate
 
-    # Sort by (relation, receiver) via two stable argsorts — a composite
-    # int key rel*(N+1)+dst overflows int32 once 2R*(N+1) >= 2^31 (and
-    # int64 silently truncates without jax_enable_x64).
-    order = jnp.argsort(dst, stable=True)
-    order = order[jnp.argsort(rel[order], stable=True)]
+    # Sort by (relation, receiver) with ONE argsort on an int32 composite
+    # key — a second stable argsort would double the dominant in-jit sort
+    # cost. int32 holds the key for any R-GCN-scale graph (AM: 532 * 300k
+    # ≈ 1.6e8 << 2^31); the guard below catches the rest at trace time
+    # (int64 keys silently truncate without jax_enable_x64).
+    _check_sort_key_range(num_general, num_nodes)
+    sort_key = rel * jnp.int32(num_nodes + 1) + dst
+    order = jnp.argsort(sort_key)
+    sort_key = sort_key[order]
     src, dst, rel, mask = src[order], dst[order], rel[order], mask[order]
 
     # Degree per (rel, dst) group as a run-length computation on sorted keys.
     is_new = jnp.concatenate(
         [
             jnp.ones((1,), jnp.int32),
-            ((rel[1:] != rel[:-1]) | (dst[1:] != dst[:-1])).astype(jnp.int32),
+            (sort_key[1:] != sort_key[:-1]).astype(jnp.int32),
         ]
     )
     seg = jnp.cumsum(is_new) - 1  # group id, < e_raw
@@ -150,9 +166,13 @@ def build_edge_set_dynamic(
         rev = _reverse_edge_set_dynamic(es, row_block, tile_size)
         es = dataclasses.replace(es, layout=layout, reverse=rev)
         if with_fused_layout:
-            # Opt-in: the fused forward saves ~30% of step time but its
-            # in-jit layout build inflates compile time substantially on
-            # this environment's remote-compile path.
+            # Opt-in, for dense-weight per-step graphs only. Every shipped
+            # LP config decomposes its weights (WN18: basis — served by the
+            # aggregation-first kernel over the plain dst layout above,
+            # ops/pallas_basis.py; FB-toy: block — XLA messages + Pallas
+            # aggregation), so the relation-quantum fused layout is not on
+            # the default training path; its in-jit build also inflates
+            # compile time substantially on remote-compile backends.
             from rgcn_tpu.ops.pallas_fused import build_fused_layout_dynamic
 
             q = min(16, tile_size)
@@ -239,10 +259,10 @@ def _reverse_edge_set_dynamic(es: EdgeSet, row_block: int, chunk: int) -> EdgeSe
     new_dst, new_src = es.src, es.dst
     rel, val = es.rel, es.val
 
-    # (relation, receiver) sort via two stable argsorts — no composite int
-    # key (int32 overflow risk at scale; int64 truncates without x64).
-    order = jnp.argsort(new_dst, stable=True)
-    order = order[jnp.argsort(rel[order], stable=True)]
+    # (relation, receiver) sort via one int32-key argsort (guarded; see
+    # build_edge_set_dynamic).
+    _check_sort_key_range(num_general, n)
+    order = jnp.argsort(rel * jnp.int32(n + 1) + new_dst)
     new_src, new_dst = new_src[order], new_dst[order]
     rel, val = rel[order], val[order]
 

@@ -191,11 +191,19 @@ class LinkPredictor(nn.Module):
         return scores, penalty
 
     # Evaluation sweeps (encode-once path) -------------------------------
-    def score_heads(self, batch: jax.Array, z: jax.Array) -> jax.Array:
-        return self.scoring_function.score_heads(batch, z)
+    def score_heads(
+        self, batch: jax.Array, z: jax.Array, candidate_slice=None
+    ) -> jax.Array:
+        return self.scoring_function.score_heads(
+            batch, z, candidate_slice=candidate_slice
+        )
 
-    def score_tails(self, batch: jax.Array, z: jax.Array) -> jax.Array:
-        return self.scoring_function.score_tails(batch, z)
+    def score_tails(
+        self, batch: jax.Array, z: jax.Array, candidate_slice=None
+    ) -> jax.Array:
+        return self.scoring_function.score_tails(
+            batch, z, candidate_slice=candidate_slice
+        )
 
 
 class CompressionRelationPredictor(LinkPredictor):

@@ -407,16 +407,22 @@ class DistMult(nn.Module):
         (``torch_rgcn/models.py:103``)."""
         return jnp.sum(self.relations ** 2)
 
-    def score_heads(self, batch: jax.Array, nodes: jax.Array) -> jax.Array:
+    def score_heads(
+        self, batch: jax.Array, nodes: jax.Array, candidate_slice=None
+    ) -> jax.Array:
         return distmult_ops.score_head_candidates(
             batch, nodes, self.relations,
             sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+            candidate_slice=candidate_slice,
         )
 
-    def score_tails(self, batch: jax.Array, nodes: jax.Array) -> jax.Array:
+    def score_tails(
+        self, batch: jax.Array, nodes: jax.Array, candidate_slice=None
+    ) -> jax.Array:
         return distmult_ops.score_tail_candidates(
             batch, nodes, self.relations,
             sbias=self.sbias, pbias=self.pbias, obias=self.obias,
+            candidate_slice=candidate_slice,
         )
 
 

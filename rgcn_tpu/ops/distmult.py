@@ -57,18 +57,30 @@ def score_head_candidates(
     sbias: Optional[jax.Array] = None,
     pbias: Optional[jax.Array] = None,
     obias: Optional[jax.Array] = None,
+    candidate_slice=None,
 ) -> jax.Array:
     """Scores of every entity substituted as head: ``(B, N)``.
 
     ``batch`` is ``(B, 3)`` true triples; column 0 (the head) is ignored.
     ``score[b, s'] = sum_d z[s']_d * (r[p_b] * z[o_b])_d``.
+    ``candidate_slice=(lo, width)`` restricts the *candidate* axis to a
+    row slice of ``nodes`` (queries still index the full table) — the
+    building block of the mesh-sharded sweep
+    (:mod:`rgcn_tpu.dist.evaluate`); returns ``(B, width)``.
     """
     p = batch[:, 1]
     o = batch[:, 2]
     rhs = relations[p] * nodes[o]  # (B, d)
-    scores = rhs @ nodes.T  # (B, N) on the MXU
+    cand = nodes
+    cb = sbias
+    if candidate_slice is not None:
+        lo, width = candidate_slice
+        cand = jax.lax.dynamic_slice_in_dim(nodes, lo, width, 0)
+        if sbias is not None:
+            cb = jax.lax.dynamic_slice_in_dim(sbias, lo, width, 0)
+    scores = rhs @ cand.T  # (B, N|width) on the MXU
     if sbias is not None:
-        scores = scores + sbias[None, :] + (pbias[p] + obias[o])[:, None]
+        scores = scores + cb[None, :] + (pbias[p] + obias[o])[:, None]
     return scores
 
 
@@ -80,12 +92,22 @@ def score_tail_candidates(
     sbias: Optional[jax.Array] = None,
     pbias: Optional[jax.Array] = None,
     obias: Optional[jax.Array] = None,
+    candidate_slice=None,
 ) -> jax.Array:
-    """Scores of every entity substituted as tail: ``(B, N)``."""
+    """Scores of every entity substituted as tail: ``(B, N)`` (or
+    ``(B, width)`` under ``candidate_slice`` — see
+    :func:`score_head_candidates`)."""
     s = batch[:, 0]
     p = batch[:, 1]
     lhs = nodes[s] * relations[p]  # (B, d)
-    scores = lhs @ nodes.T
+    cand = nodes
+    cb = obias
+    if candidate_slice is not None:
+        lo, width = candidate_slice
+        cand = jax.lax.dynamic_slice_in_dim(nodes, lo, width, 0)
+        if obias is not None:
+            cb = jax.lax.dynamic_slice_in_dim(obias, lo, width, 0)
+    scores = lhs @ cand.T
     if sbias is not None:
-        scores = scores + obias[None, :] + (sbias[s] + pbias[p])[:, None]
+        scores = scores + cb[None, :] + (sbias[s] + pbias[p])[:, None]
     return scores

@@ -155,7 +155,10 @@ def _sorted_inputs(edges: EdgeSet, comps: jax.Array):
 def _basis_fwd_impl(x, params, edges, compute_dtype):
     bases, comps = params
     src_sorted, wvec = _sorted_inputs(edges, comps)
-    xg = x[src_sorted]  # (L, din) — the one gather
+    # cast BEFORE the gather: casting (N, din) once instead of (L, din)
+    # after — the gather output feeds the kernel directly, no extra pass
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xg = xc[src_sorted]  # (L, din) — the one gather
     agg = weighted_aggregate_pallas(
         xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype
     )  # (nb, N, din)
@@ -187,6 +190,8 @@ def _basis_ad_bwd(compute_dtype, res, g):
     # summed over bases (aggregation is linear in x).
     rev = edges.reverse
     rsrc_sorted, rwvec = _sorted_inputs(rev, comps)
+    if compute_dtype is not None:
+        G = G.astype(compute_dtype)  # cast before the gather (see fwd)
     Gg = jnp.swapaxes(G, 0, 1)[rsrc_sorted]  # (L', nb, din)
     dx = weighted_aggregate_pallas(
         jnp.swapaxes(Gg, 0, 1), rwvec, rev.layout, num_nodes,

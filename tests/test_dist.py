@@ -354,3 +354,40 @@ def test_sharded_lp_step_2d_mesh_matches_single_device():
 
     np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
     tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_evaluation_matches_single_device(mesh):
+    """Candidate-sharded ranking sweep (dist/evaluate.py) == the
+    single-device encode-once evaluation, including filters and the N % K
+    != 0 padding path."""
+    from rgcn_tpu.dist.evaluate import evaluate_link_predictor_sharded
+    from rgcn_tpu.train.evaluate import build_filters
+    from rgcn_tpu.train.link_prediction import evaluate_link_predictor
+
+    rng = np.random.default_rng(26)
+    n, r = 50, 4  # 50 % 8 != 0 -> exercises candidate padding
+    triples = make_random_triples(rng, n, r, 240)
+    train, test = triples[:200], triples[200:]
+
+    model = LinkPredictor(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+    )
+    from rgcn_tpu.graph.structure import build_edge_set as _bes
+
+    edges = _bes(train, n, r, tile_size=8)
+    params = model.init(
+        {"params": jax.random.key(3)}, edges, jnp.asarray(train[:4])
+    )
+
+    all_triples = {tuple(t) for t in triples}
+    filters = build_filters(test, all_triples, n)
+
+    mrr_1, hits_1, ranks_1 = evaluate_link_predictor(
+        model, params, edges, test, filters, batch_size=16
+    )
+    mrr_s, hits_s, ranks_s = evaluate_link_predictor_sharded(
+        model, params, edges, test, filters, mesh, batch_size=16
+    )
+    np.testing.assert_array_equal(ranks_s, ranks_1)
+    assert mrr_s == mrr_1
