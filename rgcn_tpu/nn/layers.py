@@ -163,12 +163,21 @@ class RGCNConv(nn.Module):
                 out = agg + self._masked_self(self_msg, self_mask, deterministic)
             elif self._use_pallas(edges) and edges.reverse is not None:
                 # Aggregation-first basis path: no weight expansion, no
-                # relation grouping — see rgcn_tpu.ops.pallas_basis.
+                # relation grouping — see rgcn_tpu.ops.pallas_basis. On
+                # real TPUs the edge stage runs bf16 (f32 accumulation):
+                # XLA's f32 matmuls are one-pass bf16 on the MXU anyway,
+                # and the bf16 gather halves the dominant HBM traffic. The
+                # CPU/interpret path stays f32 for exactness tests.
                 from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_ad
 
+                cd = (
+                    jnp.bfloat16
+                    if jax.default_backend() in ("tpu", "axon")
+                    else None
+                )
                 agg = rel_spmm_basis_ad(
                     edges, self._fan(x), self._fan(bases),
-                    self._fan(comps[:-1]), compute_dtype=None,
+                    self._fan(comps[:-1]), compute_dtype=cd,
                 )
                 agg = self._reduce(agg)
                 self_msg = x @ jnp.einsum("b,bio->io", comps[-1], bases)

@@ -199,9 +199,13 @@ def _basis_ad_bwd(compute_dtype, res, g):
     )[0]
 
     # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>
-    xs = x[edges.src]  # (E_pad, din)
+    # (gathers in the compute dtype — G is already cast above)
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xs = xc[edges.src]  # (E_pad, din)
     Gd = jnp.swapaxes(G, 0, 1)[jnp.clip(edges.dst, 0, num_nodes - 1)]
-    t = jnp.einsum("ei,ebi->eb", xs, Gd) * edges.val[:, None]
+    t = jnp.einsum(
+        "ei,ebi->eb", xs, Gd, preferred_element_type=jnp.float32
+    ) * edges.val[:, None]
     dcomps = jax.ops.segment_sum(
         t, edges.rel, num_segments=comps.shape[0]
     ).astype(comps.dtype)

