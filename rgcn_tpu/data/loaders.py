@@ -26,7 +26,6 @@ from __future__ import annotations
 import gzip
 import os
 import pickle
-from collections import Counter
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
@@ -141,36 +140,67 @@ def _read_tsv(path: str, label_header: str, nodes_header: str):
 
 
 def _two_hop_prune(
-    triples: List[Tuple[str, str, str]], anchors: Set[str], depth: int = 2
-) -> List[Tuple[str, str, str]]:
+    spo: np.ndarray, anchor_ids: Set[int], depth: int = 2
+) -> np.ndarray:
     """Keep triples within ``depth`` hops of anchor nodes (both directions).
 
     Matches the recursive neighborhood collection of ``add_neighbors``
-    (``utils/data.py:26-41``): a triple is kept when it is reachable during a
-    depth-limited expansion that alternately follows outgoing edges from
-    subjects and incoming edges to objects.
+    (``utils/data.py:26-41``): a triple is kept when it is reachable during
+    a depth-limited expansion that alternately follows outgoing edges from
+    subjects and incoming edges to objects. Operates on interned id triples
+    (the kept-index set depends only on node identity, so this is exactly
+    the reference's string-level behavior).
     """
-    out_adj: Dict[str, List[int]] = {}
-    in_adj: Dict[str, List[int]] = {}
-    for i, (s, _, o) in enumerate(triples):
-        out_adj.setdefault(s, []).append(i)
-        in_adj.setdefault(o, []).append(i)
+    out_adj: Dict[int, List[int]] = {}
+    in_adj: Dict[int, List[int]] = {}
+    for i, (s, _, o) in enumerate(spo):
+        out_adj.setdefault(int(s), []).append(i)
+        in_adj.setdefault(int(o), []).append(i)
 
     kept: Set[int] = set()
-    frontier = set(anchors)
+    frontier = set(anchor_ids)
     for _ in range(depth):
-        next_frontier: Set[str] = set()
+        next_frontier: Set[int] = set()
         for node in frontier:
             for i in out_adj.get(node, ()):  # (node, p, o): continue from o
                 if i not in kept:
                     kept.add(i)
-                next_frontier.add(triples[i][2])
+                next_frontier.add(int(spo[i][2]))
             for i in in_adj.get(node, ()):  # (s, p, node): continue from s
                 if i not in kept:
                     kept.add(i)
-                next_frontier.add(triples[i][0])
+                next_frontier.add(int(spo[i][0]))
         frontier = next_frontier
-    return [triples[i] for i in sorted(kept)]
+    return spo[sorted(kept)]
+
+
+def _parse_graph(path: str) -> Tuple[np.ndarray, List[str], List[str]]:
+    """Parse an ``.nt.gz`` graph into interned id triples + sorted vocabs.
+
+    Uses the native C++ parser (``native/nt_parser.cc``) when compiled —
+    identical output (``tests/test_native.py``) — else the Python scanner.
+    """
+    from rgcn_tpu.data.native_nt import parse_nt_native
+
+    out = parse_nt_native(path)
+    if out is not None:
+        return out
+
+    triples = list(iter_nt_file(path))
+    nodes: Set[str] = set()
+    rels: Set[str] = set()
+    for s, p, o in triples:
+        nodes.add(s)
+        nodes.add(o)
+        rels.add(p)
+    i2n = sorted(nodes)
+    i2r = sorted(rels)
+    n2i = {n: i for i, n in enumerate(i2n)}
+    r2i = {r: i for i, r in enumerate(i2r)}
+    spo = np.empty((len(triples), 3), dtype=np.int64)
+    for i, (s, p, o) in enumerate(triples):
+        spo[i] = (n2i[s], r2i[p], n2i[o])
+    return spo, i2n, i2r
 
 
 def load_node_classification(
@@ -225,34 +255,54 @@ def load_node_classification(
     train = dict(zip(nodes_train, (lookup[v] for v in labels_train)))
     test = dict(zip(nodes_test, (lookup[v] for v in labels_test)))
 
-    triples = list(iter_nt_file(os.path.join(root, graph_rel)))
+    spo, i2n_full, i2r_full = _parse_graph(os.path.join(root, graph_rel))
 
     if prune:
-        anchors = set(train) | set(test)
-        triples = _two_hop_prune(triples, anchors, depth=2)
+        n2i_full = {n: i for i, n in enumerate(i2n_full)}
+        anchors = {
+            n2i_full[n] for n in (set(train) | set(test)) if n in n2i_full
+        }
+        spo = _two_hop_prune(spo, anchors, depth=2)
 
-    nodes: Set[str] = set()
-    relations: Counter = Counter()
-    for s, p, o in triples:
-        nodes.add(s)
-        nodes.add(o)
-        relations[p] += 1
-
-    i2n = sorted(nodes)
+    # Final vocabularies: nodes/relations present in the (possibly pruned)
+    # graph, in sorted order — filtering the sorted full vocab preserves it.
+    node_present = np.zeros(len(i2n_full), dtype=bool)
+    node_present[spo[:, 0]] = True
+    node_present[spo[:, 2]] = True
+    old_nodes = np.nonzero(node_present)[0]
+    i2n = [i2n_full[i] for i in old_nodes]
     n2i = {n: i for i, n in enumerate(i2n)}
+    node_remap = np.full(len(i2n_full), -1, dtype=np.int64)
+    node_remap[old_nodes] = np.arange(len(old_nodes))
 
+    rel_counts = np.bincount(spo[:, 1], minlength=len(i2r_full))
     REST = ".rest"
     if limit is not None:
-        i2r = [r for r, _ in relations.most_common(limit)] + [REST, "inv." + REST]
+        # Counter.most_common order: count desc, ties by first occurrence
+        # (utils/data.py:163-166 iterates the counter built in triple order)
+        _, first_idx = np.unique(spo[:, 1], return_index=True)
+        first_of = np.full(len(i2r_full), np.iinfo(np.int64).max, np.int64)
+        present_rels = np.unique(spo[:, 1])
+        first_of[present_rels] = first_idx
+        order = sorted(
+            (int(r) for r in present_rels),
+            key=lambda r: (-int(rel_counts[r]), int(first_of[r])),
+        )[:limit]
+        i2r = [i2r_full[r] for r in order] + [REST, "inv." + REST]
+        rel_remap = np.full(len(i2r_full), len(order), dtype=np.int64)  # REST
+        for new, old in enumerate(order):
+            rel_remap[old] = new
     else:
-        i2r = sorted(relations.keys())
+        old_rels = np.nonzero(rel_counts > 0)[0]
+        i2r = [i2r_full[r] for r in old_rels]
+        rel_remap = np.full(len(i2r_full), -1, dtype=np.int64)
+        rel_remap[old_rels] = np.arange(len(old_rels))
     r2i = {r: i for i, r in enumerate(i2r)}
 
-    edges = np.empty((len(triples), 3), dtype=np.int64)
-    for i, (s, p, o) in enumerate(triples):
-        edges[i, 0] = n2i[s]
-        edges[i, 1] = r2i.get(p, r2i.get(REST, 0))
-        edges[i, 2] = n2i[o]
+    edges = np.stack(
+        [node_remap[spo[:, 0]], rel_remap[spo[:, 1]], node_remap[spo[:, 2]]],
+        axis=1,
+    )
 
     data = NodeClassificationData(
         triples=edges, n2i=n2i, i2n=i2n, r2i=r2i, i2r=i2r, train=train, test=test

@@ -52,3 +52,48 @@ def test_native_large_graph_speed():
     np.testing.assert_array_equal(a.dst, b.dst)
     np.testing.assert_allclose(a.val, b.val, rtol=1e-6)
     print(f"native {t_native*1e3:.0f}ms vs numpy {t_numpy*1e3:.0f}ms")
+
+
+def test_native_nt_parser_matches_python_scanner(tmp_path):
+    """The C++ N-Triples parser (native/nt_parser.cc) must produce exactly
+    the Python scanner's term strings and the same sorted-vocab ids —
+    including literals with escapes/@lang/^^<dt>, blank nodes, comments and
+    long lines."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from rgcn_tpu.data.native_nt import native_nt_available, parse_nt_native
+    from rgcn_tpu.data.nt import iter_nt_file
+
+    if not native_nt_available():
+        pytest.skip("native library not built")
+
+    lines = [
+        "<http://a/s1> <http://p/r1> <http://a/o1> .",
+        '<http://a/s1> <http://p/r2> "plain literal" .',
+        '<http://a/s2> <http://p/r2> "esc \\"q\\" lit"^^<http://t/int> .',
+        '<http://a/s2> <http://p/r1> "hallo"@de .',
+        "_:b0 <http://p/r3> _:b1 .",
+        "# a comment line",
+        "",
+        "<http://a/s3> <http://p/r3> <http://a/" + "x" * 70000 + "> .",
+    ]
+    path = tmp_path / "g.nt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    py = list(iter_nt_file(str(path)))
+    spo, i2n, i2r = parse_nt_native(str(path))
+
+    # same vocabularies (sorted)
+    nodes = sorted({t[0] for t in py} | {t[2] for t in py})
+    rels = sorted({t[1] for t in py})
+    assert i2n == nodes and i2r == rels
+
+    # same triples under the sorted-vocab ids
+    n2i = {n: i for i, n in enumerate(nodes)}
+    r2i = {r: i for i, r in enumerate(rels)}
+    want = np.array([(n2i[s], r2i[p], n2i[o]) for s, p, o in py])
+    np.testing.assert_array_equal(spo, want)
