@@ -239,9 +239,11 @@ def test_sharded_nc_step_pallas_matches_single_device(mesh):
     tree_allclose(params_s, params_ref)
 
 
-def test_sharded_lp_step_pallas_matches_single_device(mesh):
+@pytest.mark.parametrize("decomp", [None, "basis"])
+def test_sharded_lp_step_pallas_matches_single_device(mesh, decomp):
     """Sharded LP training with per-shard in-jit Pallas layouts == the
-    single-device step (backend='pallas' end to end)."""
+    single-device step (backend='pallas' end to end; the basis variant
+    exercises the aggregation-first kernel inside the sharded step)."""
     rng = np.random.default_rng(24)
     n, r = 48, 4
     triples = make_random_triples(rng, n, r, 200)
@@ -251,6 +253,7 @@ def test_sharded_lp_step_pallas_matches_single_device(mesh):
         num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
         num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
         decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+        decomposition=decomp, num_bases=2 if decomp else 0,
     )
     model_s = LinkPredictor(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
     model_1 = LinkPredictor(**kwargs)
