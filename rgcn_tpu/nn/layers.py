@@ -154,14 +154,41 @@ class RGCNConv(nn.Module):
             if self.in_features is None:
                 # Never expand comps @ bases to (R', N, dout) — gigabytes on
                 # many-relation graphs (AM); contract per tile instead.
-                agg = spmm_ops.rel_spmm_featureless_basis(
-                    edges, self._fan(bases), self._fan(comps[:-1]),
-                    aggregate=self._aggregate_fn(edges),
-                )
+                # The aggregation-first kernel repeats the one-hot matmul
+                # per basis (cost ∝ nb) — a win for small nb; many-basis
+                # configs (AM: 40) stay on the per-tile contraction + one
+                # Pallas aggregation, whose one-hot cost is nb-independent.
+                if (
+                    self._use_pallas(edges)
+                    and edges.reverse is not None
+                    and self.num_bases <= 8
+                ):
+                    from rgcn_tpu.ops.pallas_basis import (
+                        rel_spmm_featureless_basis_ad,
+                    )
+
+                    cd = (
+                        jnp.bfloat16
+                        if jax.default_backend() in ("tpu", "axon")
+                        else None
+                    )
+                    agg = rel_spmm_featureless_basis_ad(
+                        edges, self._fan(bases), self._fan(comps[:-1]),
+                        compute_dtype=cd,
+                    )
+                else:
+                    agg = spmm_ops.rel_spmm_featureless_basis(
+                        edges, self._fan(bases), self._fan(comps[:-1]),
+                        aggregate=self._aggregate_fn(edges),
+                    )
                 agg = self._reduce(agg)
                 self_msg = jnp.einsum("b,bio->io", comps[-1], bases)
                 out = agg + self._masked_self(self_msg, self_mask, deterministic)
-            elif self._use_pallas(edges) and edges.reverse is not None:
+            elif (
+                self._use_pallas(edges)
+                and edges.reverse is not None
+                and self.num_bases <= 8  # one-hot cost ∝ nb; expand beyond
+            ):
                 # Aggregation-first basis path: no weight expansion, no
                 # relation grouping — see rgcn_tpu.ops.pallas_basis. On
                 # real TPUs the edge stage runs bf16 (f32 accumulation):

@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from rgcn_tpu.graph.structure import EdgeSet
 from rgcn_tpu.ops.pallas_aggregate import DstLayout
 
-__all__ = ["weighted_aggregate_pallas", "rel_spmm_basis_ad"]
+__all__ = [
+    "weighted_aggregate_pallas",
+    "rel_spmm_basis_ad",
+    "rel_spmm_featureless_basis_ad",
+]
 
 
 def weighted_aggregate_pallas(
@@ -230,3 +234,89 @@ def rel_spmm_basis_ad(edges: EdgeSet, x: jax.Array, bases, comps,
             "with_dst_layout=True (layout + reverse present)"
         )
     return _basis_ad_core(x, (bases, comps), edges, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Featureless basis (NC first layer; AM-class relation vocabularies).
+# With identity features, W[r] = Σ_b comps[r, b] · B_b where B_b is (N, dout),
+# so  out[s] = Σ_e val_e · W[rel_e][src_e] = Σ_b Σ_e (val_e comps[rel_e, b]) ·
+# B_b[src_e]  — the same weighted aggregation, gathering from each basis
+# table (shared_x=False) and summing over bases in-kernel. Never expands to
+# (R', N, dout) (reference torch_rgcn/layers.py:286-288 materializes the
+# stacked form).
+# ---------------------------------------------------------------------------
+
+
+def _fl_basis_fwd_impl(params, edges, compute_dtype):
+    bases_rows, comps = params  # (nb, N, dout), (R, nb)
+    src_sorted, wvec = _sorted_inputs(edges, comps)
+    rows = jnp.swapaxes(bases_rows, 0, 1)  # (N, nb, dout): one gather, all b
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    rg = rows[src_sorted]  # (L, nb, dout)
+    out = weighted_aggregate_pallas(
+        jnp.swapaxes(rg, 0, 1), wvec, edges.layout, edges.num_nodes,
+        sum_bases=True, compute_dtype=compute_dtype,
+    )[0]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fl_basis_ad_core(params, edges, compute_dtype):
+    return _fl_basis_fwd_impl(params, edges, compute_dtype)
+
+
+def _fl_basis_ad_fwd(params, edges, compute_dtype):
+    return _fl_basis_fwd_impl(params, edges, compute_dtype), (params, edges)
+
+
+def _fl_basis_ad_bwd(compute_dtype, res, g):
+    (bases_rows, comps), edges = res
+    num_nodes = edges.num_nodes
+    nb = comps.shape[1]
+
+    # d bases_rows[b][n] = Σ_{e: src_e = n} val_e comps[rel_e, b] · g[dst_e]:
+    # aggregation over the REVERSED structure (receiver = source), one
+    # output per basis (sum_bases=False), shared cotangent rows.
+    rev = edges.reverse
+    rsrc_sorted, rwvec = _sorted_inputs(rev, comps)
+    gc = g.astype(compute_dtype) if compute_dtype is not None else g
+    gg = gc[rsrc_sorted]  # (L', dout)
+    dbases = weighted_aggregate_pallas(
+        gg, rwvec, rev.layout, num_nodes, compute_dtype=compute_dtype
+    ).astype(bases_rows.dtype)
+
+    # d comps[r, b] = Σ_{e ∈ r} val_e · <B_b[src_e], g[dst_e]>
+    rows = jnp.swapaxes(bases_rows, 0, 1)
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    Bs = rows[edges.src]  # (E_pad, nb, dout)
+    gd = gc[jnp.clip(edges.dst, 0, num_nodes - 1)]
+    t = jnp.einsum(
+        "ebo,eo->eb", Bs, gd, preferred_element_type=jnp.float32
+    ) * edges.val[:, None]
+    dcomps = jax.ops.segment_sum(
+        t, edges.rel, num_segments=comps.shape[0]
+    ).astype(comps.dtype)
+
+    return (dbases, dcomps), None
+
+
+_fl_basis_ad_core.defvjp(_fl_basis_ad_fwd, _fl_basis_ad_bwd)
+
+
+def rel_spmm_featureless_basis_ad(
+    edges: EdgeSet, bases_rows: jax.Array, comps: jax.Array,
+    compute_dtype=None,
+):
+    """Differentiable aggregation-first featureless-basis SpMM.
+
+    ``bases_rows (nb, N, dout)`` / ``comps (num_rels, nb)`` — general
+    relations only. Requires ``edges.layout`` + ``edges.reverse``.
+    """
+    if edges.layout is None or edges.reverse is None:
+        raise ValueError(
+            "rel_spmm_featureless_basis_ad needs an EdgeSet built with "
+            "with_dst_layout=True (layout + reverse present)"
+        )
+    return _fl_basis_ad_core((bases_rows, comps), edges, compute_dtype)

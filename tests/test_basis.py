@@ -114,3 +114,35 @@ def test_rgcnconv_diag_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_featureless_basis_pallas_matches_xla():
+    """Aggregation-first featureless-basis kernel — forward and gradients
+    vs the per-tile contraction oracle, through RGCNConv (NC first layer,
+    the AM-class configuration)."""
+    rng = np.random.default_rng(11)
+    n, r = 40, 5
+    triples = make_random_triples(rng, n, r, 180)
+    es = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+
+    kwargs = dict(
+        num_nodes=n, num_relations=2 * r + 1, in_features=None,
+        out_features=12, decomposition="basis", num_bases=3,
+    )
+    layer_x = RGCNConv(backend="xla", **kwargs)
+    layer_p = RGCNConv(backend="pallas", **kwargs)
+    params = layer_x.init(jax.random.key(0), es)
+
+    want = np.asarray(layer_x.apply(params, es))
+    got = np.asarray(layer_p.apply(params, es))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def loss(apply_fn, p):
+        return jnp.sum(jnp.tanh(apply_fn(p, es)))
+
+    gx = jax.grad(lambda p: loss(layer_x.apply, p))(params)
+    gp = jax.grad(lambda p: loss(layer_p.apply, p))(params)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
