@@ -144,6 +144,45 @@ def main():
     )
     results["lp_step_ms"] = round(t * 1e3, 3)
 
+    # --- LP step with HOST-built graph (the production training path:
+    # the build overlaps device execution in the epoch pipeline) ---
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+
+    es_host = build_edge_set_dynamic_host(
+        np.asarray(pos0), lp_n, lp_r, tile_size=128,
+        dropout_rate=0.5, dropout_rng=np.random.default_rng(3),
+        with_dst_layout=jax.default_backend() in ("tpu", "axon"),
+        row_block=128, layout_chunk=256,
+    )
+
+    @jax.jit
+    def lp_step_host(params, opt_state, key):
+        k_neg, key = jax.random.split(key)
+        batch, labels = corrupt_batch(k_neg, pos0, lp_n, 10, 0.5)
+
+        def loss_fn(p):
+            scores, pen = model.apply(p, es_host, batch)
+            return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, key
+
+    t = chain_time(
+        lp_step_host,
+        lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
+        lp_params, lp_opt, jax.random.key(4), iters=args.iters,
+    )
+    results["lp_step_hostbuild_ms"] = round(t * 1e3, 3)
+    t0 = time.time()
+    for i in range(5):
+        build_edge_set_dynamic_host(
+            np.asarray(pos0), lp_n, lp_r, tile_size=128,
+            dropout_rate=0.5, dropout_rng=np.random.default_rng(i),
+            with_dst_layout=True, row_block=128, layout_chunk=256,
+        )
+    results["host_build_ms"] = round((time.time() - t0) / 5 * 1e3, 1)
+
     print(json.dumps(results))
 
 

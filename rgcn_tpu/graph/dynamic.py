@@ -30,6 +30,7 @@ from rgcn_tpu.graph.structure import EdgeSet
 __all__ = [
     "padded_size",
     "build_edge_set_dynamic",
+    "build_edge_set_dynamic_host",
     "build_dst_layout_dynamic",
     "self_loop_keep_mask",
 ]
@@ -70,6 +71,7 @@ def build_edge_set_dynamic(
     *,
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    keep_mask: Optional[jax.Array] = None,  # overrides the dropout draw
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
     with_fused_layout: bool = False,
@@ -96,7 +98,9 @@ def build_edge_set_dynamic(
     src = jnp.concatenate([o, s])
     rel = jnp.concatenate([p, p + num_rels])
 
-    if dropout_rate > 0.0 and dropout_key is not None:
+    if keep_mask is not None:
+        keep = jnp.asarray(keep_mask, jnp.float32)
+    elif dropout_rate > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(
             dropout_key, 1.0 - dropout_rate, (bsz,)
         ).astype(jnp.float32)
@@ -312,3 +316,156 @@ def self_loop_keep_mask(
     return jax.random.bernoulli(key, keep_prob, (num_nodes, 1)).astype(
         jnp.float32
     )
+
+
+def build_edge_set_dynamic_host(
+    positives: "np.ndarray",
+    num_nodes: int,
+    num_rels: int,
+    tile_size: int = 128,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional["np.random.Generator"] = None,
+    keep_mask: Optional["np.ndarray"] = None,
+    tile_multiple: int = 1,
+    with_dst_layout: bool = False,
+    row_block: int = 128,
+    layout_chunk: int = 256,
+) -> EdgeSet:
+    """Host-side (NumPy) mirror of :func:`build_edge_set_dynamic`.
+
+    Same contract and identical static shapes; intended for the training
+    loop's background epoch pipeline: link-prediction runs ONE step per
+    sampled subgraph, so the entire graph construction — dropout masking,
+    (relation, receiver) sort, degree renormalization, tile padding and the
+    Pallas destination layouts for forward AND reverse — can overlap with
+    the previous step's device execution instead of burning device time on
+    in-jit sorts and scatters (measured ~35 ms of a 43 ms WN18-scale step).
+
+    ``keep_mask`` (bool, per positive) overrides the dropout draw — used by
+    the equivalence tests; otherwise ``dropout_rng`` draws it.
+    """
+    import numpy as np
+
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    positives = np.asarray(positives)
+    bsz = positives.shape[0]
+    num_general = 2 * num_rels
+    e_raw = 2 * bsz
+    e_pad = padded_size(e_raw, num_general, tile_size, tile_multiple)
+    n_tiles = e_pad // tile_size
+
+    s = positives[:, 0].astype(np.int32)
+    p = positives[:, 1].astype(np.int32)
+    o = positives[:, 2].astype(np.int32)
+
+    dst = np.concatenate([s, o])
+    src = np.concatenate([o, s])
+    rel = np.concatenate([p, p + num_rels])
+
+    if keep_mask is not None:
+        keep = np.asarray(keep_mask, dtype=np.float32)
+    elif dropout_rate > 0.0 and dropout_rng is not None:
+        keep = (dropout_rng.random(bsz) < 1.0 - dropout_rate).astype(
+            np.float32
+        )
+    else:
+        keep = np.ones(bsz, dtype=np.float32)
+    mask = np.concatenate([keep, keep])
+
+    order = np.lexsort((dst, rel))
+    src, dst, rel, mask = src[order], dst[order], rel[order], mask[order]
+
+    key = rel.astype(np.int64) * (num_nodes + 1) + dst
+    is_new = np.concatenate([[True], key[1:] != key[:-1]])
+    seg = np.cumsum(is_new) - 1
+    deg = np.zeros(e_raw, dtype=np.float64)
+    np.add.at(deg, seg, mask)
+    deg = deg[seg]
+    val = np.where(deg > 0, mask / np.maximum(deg, 1.0), 0.0).astype(
+        np.float32
+    )
+
+    counts = np.bincount(rel, minlength=num_general)
+    padded = ((counts + tile_size - 1) // tile_size) * tile_size
+    cum_padded = np.cumsum(padded)
+    offsets = cum_padded - padded
+    cum_counts = np.cumsum(counts)
+    starts = cum_counts - counts
+    pos = offsets[rel] + (np.arange(e_raw) - starts[rel])
+
+    src_p = np.zeros(e_pad, dtype=np.int32)
+    dst_p = np.full(e_pad, num_nodes, dtype=np.int32)
+    val_p = np.zeros(e_pad, dtype=np.float32)
+    src_p[pos] = src
+    dst_p[pos] = dst
+    val_p[pos] = val
+
+    tile_starts = np.arange(n_tiles, dtype=np.int64) * tile_size
+    tile_rel = np.searchsorted(cum_padded, tile_starts, side="right")
+    tile_rel = np.minimum(tile_rel, num_general - 1).astype(np.int32)
+    rel_p = np.repeat(tile_rel, tile_size)
+
+    es = EdgeSet(
+        src=src_p, dst=dst_p, rel=rel_p, val=val_p, tile_rel=tile_rel,
+        num_nodes=int(num_nodes), num_rels=int(num_general),
+        tile_size=int(tile_size), num_edges=int(e_raw),
+    )
+    if not with_dst_layout:
+        return es
+
+    import dataclasses
+
+    nrb = -(-num_nodes // row_block)
+    static_total = nrb * layout_chunk + (
+        (e_pad + layout_chunk - 1) // layout_chunk
+    ) * layout_chunk
+    layout = build_dst_layout(
+        dst_p, num_nodes, row_block=row_block, chunk=layout_chunk,
+        pad_to=static_total,
+    )
+
+    # reverse: swap src/dst, KEEP values, re-tile by (relation, receiver) —
+    # mirrors _reverse_edge_set_dynamic (pads ride along with val == 0)
+    r_dst, r_src = src_p, dst_p
+    r_order = np.lexsort((r_dst, rel_p))
+    r_src_s, r_dst_s = r_src[r_order], r_dst[r_order]
+    r_rel_s, r_val_s = rel_p[r_order], val_p[r_order]
+
+    r_counts = np.bincount(r_rel_s, minlength=num_general)
+    r_padded = ((r_counts + tile_size - 1) // tile_size) * tile_size
+    e_rev = padded_size(e_pad, num_general, tile_size)
+    r_cum = np.cumsum(r_padded)
+    r_off = r_cum - r_padded
+    r_cc = np.cumsum(r_counts)
+    r_st = r_cc - r_counts
+    r_pos = r_off[r_rel_s] + (np.arange(e_pad) - r_st[r_rel_s])
+
+    rsrc_p = np.zeros(e_rev, dtype=np.int32)
+    rdst_p = np.full(e_rev, num_nodes, dtype=np.int32)
+    rval_p = np.zeros(e_rev, dtype=np.float32)
+    rsrc_p[r_pos] = r_src_s
+    rdst_p[r_pos] = r_dst_s
+    rval_p[r_pos] = r_val_s
+
+    rn_tiles = e_rev // tile_size
+    r_ts = np.arange(rn_tiles, dtype=np.int64) * tile_size
+    r_tile_rel = np.searchsorted(r_cum, r_ts, side="right")
+    r_tile_rel = np.minimum(r_tile_rel, num_general - 1).astype(np.int32)
+    r_rel_p = np.repeat(r_tile_rel, tile_size)
+
+    r_static_total = nrb * layout_chunk + (
+        (e_rev + layout_chunk - 1) // layout_chunk
+    ) * layout_chunk
+    r_layout = build_dst_layout(
+        rdst_p, num_nodes, row_block=row_block, chunk=layout_chunk,
+        pad_to=r_static_total,
+    )
+    rev = EdgeSet(
+        src=rsrc_p, dst=rdst_p, rel=r_rel_p, val=rval_p,
+        tile_rel=r_tile_rel, num_nodes=int(num_nodes),
+        num_rels=num_general, tile_size=int(tile_size),
+        num_edges=int(e_raw), layout=r_layout,
+    )
+    return dataclasses.replace(es, layout=layout, reverse=rev)

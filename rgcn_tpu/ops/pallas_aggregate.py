@@ -85,10 +85,17 @@ def build_dst_layout(
     num_nodes: int,
     row_block: int = 256,
     chunk: int = 256,
+    pad_to: Optional[int] = None,
 ) -> DstLayout:
     """Host-side layout construction for a static graph.
 
     ``dst`` is the per-edge destination array (any order; pads = num_nodes).
+    ``pad_to`` pads the layout to a fixed slot count (appended all-pad
+    chunks repeat the last row block — they accumulate zeros): host-built
+    per-epoch graphs need shape-stable layouts so the training step
+    compiles once (the static bound is
+    ``num_row_blocks * chunk + ceil(len(dst) / chunk) * chunk``, the same
+    as :func:`rgcn_tpu.graph.dynamic.build_dst_layout_dynamic`).
     """
     dst = np.asarray(dst)
     e = dst.shape[0]
@@ -112,6 +119,14 @@ def build_dst_layout(
     total = max(total, chunk)
 
     pos = offsets[block_of] + (np.arange(order.shape[0]) - starts[block_of])
+
+    if pad_to is not None:
+        if pad_to < total or pad_to % chunk:
+            raise ValueError(
+                f"pad_to={pad_to} < layout total {total} or not a multiple "
+                f"of chunk {chunk}"
+            )
+        total = pad_to
 
     perm = np.full(total, e, dtype=np.int32)  # pad -> one-past-end slot
     perm[pos] = order

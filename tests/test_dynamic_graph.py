@@ -86,3 +86,50 @@ def test_self_loop_keep_mask():
     m2 = self_loop_keep_mask(jax.random.key(0), 1000, 0.7)
     frac = float(np.asarray(m2).mean())
     assert 0.6 < frac < 0.8
+
+
+def test_host_builder_matches_traced_builder():
+    """build_edge_set_dynamic_host (the background-thread epoch builder)
+    must be BIT-identical to the in-jit builder — EdgeSet fields, both
+    destination layouts, and the reversed structure — including under
+    dropout (shared keep mask)."""
+    import numpy as np
+
+    from rgcn_tpu.graph.dynamic import (
+        build_edge_set_dynamic,
+        build_edge_set_dynamic_host,
+    )
+    from tests.conftest import make_random_triples
+
+    rng = np.random.default_rng(33)
+    n, r, bsz, tile, rb = 64, 5, 100, 16, 8
+    positives = make_random_triples(rng, n, r, bsz)
+    keep = (rng.random(bsz) < 0.6).astype(np.float32)
+
+    es_t = build_edge_set_dynamic(
+        jnp.asarray(positives), n, r, tile_size=tile,
+        dropout_rate=0.5, keep_mask=jnp.asarray(keep),
+        with_dst_layout=True, row_block=rb,
+    )
+    es_h = build_edge_set_dynamic_host(
+        positives, n, r, tile_size=tile,
+        dropout_rate=0.5, keep_mask=keep,
+        with_dst_layout=True, row_block=rb, layout_chunk=tile,
+    )
+
+    def cmp(a, b, what):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=what
+        )
+
+    for field in ("src", "dst", "rel", "val", "tile_rel"):
+        cmp(getattr(es_t, field), getattr(es_h, field), field)
+    for field in ("perm", "local_dst", "chunk_block"):
+        cmp(getattr(es_t.layout, field), getattr(es_h.layout, field),
+            f"layout.{field}")
+    for field in ("src", "dst", "rel", "val", "tile_rel"):
+        cmp(getattr(es_t.reverse, field), getattr(es_h.reverse, field),
+            f"reverse.{field}")
+    for field in ("perm", "local_dst", "chunk_block"):
+        cmp(getattr(es_t.reverse.layout, field),
+            getattr(es_h.reverse.layout, field), f"reverse.layout.{field}")
