@@ -30,6 +30,8 @@ def main():
                     help="use a synthetic dataset of comparable scale")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--tile-size", type=int, default=128)
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler device trace here")
     args = ap.parse_args()
 
     if args.cpu:
@@ -85,7 +87,10 @@ def main():
         )
 
     logger = ScalarLogger(run_dir=args.run_dir, name="node_class")
-    run_repeats(cfg, data, logger=logger, tile_size=args.tile_size)
+    from rgcn_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir, enabled=args.profile_dir is not None):
+        run_repeats(cfg, data, logger=logger, tile_size=args.tile_size)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ def main():
                     help="use a synthetic dataset of matching scale")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--tile-size", type=int, default=128)
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler device trace here")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save/resume params+optimizer state here")
     ap.add_argument("--checkpoint-every", type=int, default=None,
@@ -86,11 +88,14 @@ def main():
         )
 
     logger = ScalarLogger(run_dir=args.run_dir, name="link_pred")
-    train_link_predictor(
-        cfg, data, logger=logger, tile_size=args.tile_size,
-        max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=args.checkpoint_every,
-    )
+    from rgcn_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir, enabled=args.profile_dir is not None):
+        train_link_predictor(
+            cfg, data, logger=logger, tile_size=args.tile_size,
+            max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
 
 
 if __name__ == "__main__":
