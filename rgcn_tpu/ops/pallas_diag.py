@@ -35,9 +35,27 @@ def _slot_arrays(edges: EdgeSet):
     return src_z[perm], rel_z[perm], val_z[perm]
 
 
+# Row gathers on TPU are row-latency-bound (~ns/row regardless of width),
+# so looking the per-slot weight vector up via a one-hot matmul on the MXU
+# beats gathering it when the onehot stays modest. Cap the materialized
+# (L, R) one-hot at ~256 MB.
+_ONEHOT_LOOKUP_MAX_ELEMS = 64_000_000
+
+
+def _lookup_rows(table, idx):
+    """``table[idx]`` — as ``onehot(idx) @ table`` for small tables."""
+    n_rows = table.shape[0]
+    if idx.shape[0] * n_rows <= _ONEHOT_LOOKUP_MAX_ELEMS:
+        oh = (
+            idx[:, None] == jnp.arange(n_rows, dtype=idx.dtype)[None, :]
+        ).astype(table.dtype)
+        return oh @ table
+    return table[idx]
+
+
 def _diag_sorted_agg(x, dw, edges):
     src_s, rel_s, val_s = _slot_arrays(edges)
-    msgs = x[src_s] * dw[rel_s] * val_s[:, None]
+    msgs = x[src_s] * _lookup_rows(dw, rel_s) * val_s[:, None]
     return aggregate_presorted_pallas(msgs, edges.layout, edges.num_nodes)
 
 
