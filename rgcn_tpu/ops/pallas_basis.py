@@ -156,6 +156,22 @@ def _sorted_inputs(edges: EdgeSet, comps: jax.Array):
     return src_z[perm], wvec_z[perm].T  # (L,), (nb, L)
 
 
+def _sorted_edge_fields(edges: EdgeSet):
+    """Per-slot (dst, rel, val) in the EdgeSet's layout order; pads →
+    (0, 0, 0.0)."""
+    perm = jnp.asarray(edges.layout.perm)
+    dst_z = jnp.concatenate([edges.dst, jnp.zeros((1,), edges.dst.dtype)])
+    rel_z = jnp.concatenate([edges.rel, jnp.zeros((1,), edges.rel.dtype)])
+    val_z = jnp.concatenate([edges.val, jnp.zeros((1,), edges.val.dtype)])
+    # pad slots carry dst == num_nodes in the padded arrays; clip for safe
+    # gathers (their val is 0)
+    return (
+        jnp.clip(dst_z[perm], 0, edges.num_nodes - 1),
+        rel_z[perm],
+        val_z[perm],
+    )
+
+
 def _basis_fwd_impl(x, params, edges, compute_dtype):
     bases, comps = params
     src_sorted, wvec = _sorted_inputs(edges, comps)
@@ -202,16 +218,20 @@ def _basis_ad_bwd(compute_dtype, res, g):
         sum_bases=True, compute_dtype=compute_dtype,
     )[0]
 
-    # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>
-    # (gathers in the compute dtype — G is already cast above)
+    # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>, computed in
+    # the REVERSE layout frame so the (L, nb, din) cotangent rows gathered
+    # for dx above (Gg: G rows at the reverse slots' sources == the
+    # forward edges' destinations) are REUSED — this drops the widest
+    # backward gather; only x rows at the reverse slots' receivers (== the
+    # forward sources) are fetched fresh.
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
-    xs = xc[edges.src]  # (E_pad, din)
-    Gd = jnp.swapaxes(G, 0, 1)[jnp.clip(edges.dst, 0, num_nodes - 1)]
+    rdst_s, rrel_s, rval_s = _sorted_edge_fields(rev)
+    xr = xc[rdst_s]  # (L', din) — forward sources
     t = jnp.einsum(
-        "ei,ebi->eb", xs, Gd, preferred_element_type=jnp.float32
-    ) * edges.val[:, None]
+        "li,lbi->lb", xr, Gg, preferred_element_type=jnp.float32
+    ) * rval_s[:, None]
     dcomps = jax.ops.segment_sum(
-        t, edges.rel, num_segments=comps.shape[0]
+        t, rrel_s, num_segments=comps.shape[0]
     ).astype(comps.dtype)
 
     return dx.astype(x.dtype), (dbases, dcomps), None
