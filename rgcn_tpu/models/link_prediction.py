@@ -104,6 +104,7 @@ class LinkPredictor(nn.Module):
             weight_gain=self.decoder_include_gain,
             bias_init=self.decoder_bias_init,
             axis_name=self._decoder_axes(),
+            backend=self.backend,
         )
 
     def _make_conv(self, r_aug: int, din: int, dout: int) -> RGCNConv:
@@ -245,6 +246,7 @@ class CompressionRelationPredictor(LinkPredictor):
             weight_gain=self.decoder_include_gain,
             bias_init=self.decoder_bias_init,
             axis_name=self._decoder_axes(),
+            backend=self.backend,
         )
 
     def encode(

@@ -380,9 +380,20 @@ class DistMult(nn.Module):
     # relation weights, biases) must be fanout-marked so their gradients
     # psum the per-shard partials (see rgcn_tpu.ops.collectives).
     axis_name: Optional[str] = None
+    # 'auto' | 'pallas' | 'xla': 'pallas' (or 'auto' on TPU) swaps the
+    # bias-free scorer for the scatter-free custom-VJP version
+    # (ops/pallas_distmult.py) — the backward's two per-triple row
+    # scatter-adds into d nodes become Pallas one-hot aggregations.
+    backend: str = "auto"
 
     def _fan(self, x):
         return maybe_fanout(x, self.axis_name)
+
+    def _use_pallas(self) -> bool:
+        return self.backend == "pallas" or (
+            self.backend == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+        )
 
     def setup(self):
         gain = rinit.relu_gain() if self.weight_gain else 1.0
@@ -400,6 +411,12 @@ class DistMult(nn.Module):
 
     def __call__(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
         fan = self._fan
+        if self.sbias is None and self._use_pallas():
+            from rgcn_tpu.ops.pallas_distmult import distmult_score_agg_ad
+
+            return distmult_score_agg_ad(
+                triples, fan(nodes), fan(self.relations)
+            )
         return distmult_ops.distmult_score(
             triples, fan(nodes), fan(self.relations),
             sbias=None if self.sbias is None else fan(self.sbias),
