@@ -120,7 +120,26 @@ def main():
             rel_spmm_block(es, x, blocks, aggregate=aggregate_messages_ad)
             + x @ w[-1]
         ),
+        # the production block path: expand to dense per-relation matrices
+        # and ride the dense Pallas kernel (see RGCNConv._block_messages)
+        "block-expanded": lambda x, w: (
+            rel_spmm_pallas_full(
+                es, es.layout, x, _expand_blocks(blocks),
+                compute_dtype=jnp.bfloat16,
+            )
+            + x @ w[-1].astype(jnp.bfloat16)
+        ),
     }
+
+    def _expand_blocks(blocks):
+        r, nb_, ib_, ob_ = blocks.shape
+        din_, dout_ = nb_ * ib_, nb_ * ob_
+        rows = jnp.arange(din_)
+        cols = (rows // ib_)[:, None] * ob_ + jnp.arange(ob_)[None, :]
+        w_d = jnp.zeros((r, din_, dout_), blocks.dtype)
+        return w_d.at[:, rows[:, None], cols].set(
+            blocks.reshape(r, din_, ob_)
+        )
     if not on_tpu:
         # compiled Pallas needs the chip; keep the portable oracle only
         variants = {k: v for k, v in variants.items() if k == "dense-xla"}

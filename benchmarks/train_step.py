@@ -144,25 +144,36 @@ def main():
     )
     results["lp_step_ms"] = round(t * 1e3, 3)
 
-    # --- LP step with HOST-built graph (the production training path:
-    # the build overlaps device execution in the epoch pipeline) ---
+    # --- LP step with HOST-built graph + host negatives + host scoring
+    # layouts (the production training path: everything overlaps device
+    # execution in the epoch pipeline; decoder backward is scatter-free) ---
     from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.ops.pallas_distmult import build_batch_layouts
+    from rgcn_tpu.train.negative import corrupt_batch_host
 
+    on_accel = jax.default_backend() in ("tpu", "axon")
     es_host = build_edge_set_dynamic_host(
         np.asarray(pos0), lp_n, lp_r, tile_size=128,
         dropout_rate=0.5, dropout_rng=np.random.default_rng(3),
-        with_dst_layout=jax.default_backend() in ("tpu", "axon"),
+        with_dst_layout=on_accel,
         row_block=128, layout_chunk=256,
     )
+    batch_h, labels_h = corrupt_batch_host(
+        np.random.default_rng(4), np.asarray(pos0), lp_n, 10, 0.5
+    )
+    layouts_h = build_batch_layouts(batch_h, lp_n) if on_accel else None
+    batch_h = jnp.asarray(batch_h)
+    labels_h = jnp.asarray(labels_h)
 
     @jax.jit
     def lp_step_host(params, opt_state, key):
-        k_neg, key = jax.random.split(key)
-        batch, labels = corrupt_batch(k_neg, pos0, lp_n, 10, 0.5)
-
         def loss_fn(p):
-            scores, pen = model.apply(p, es_host, batch)
-            return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+            scores, pen = model.apply(
+                p, es_host, batch_h, batch_layouts=layouts_h
+            )
+            return optax.sigmoid_binary_cross_entropy(
+                scores, labels_h
+            ).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt_state = tx.update(grads, opt_state, params)

@@ -181,9 +181,10 @@ class LinkPredictor(nn.Module):
         deterministic: bool = True,
         penalty_weights: Optional[jax.Array] = None,
         penalty_total: Optional[jax.Array] = None,
+        batch_layouts=None,  # host-built scoring-batch aggregation layouts
     ) -> Tuple[jax.Array, jax.Array]:
         z = self.encode(edges, self_mask=self_mask, deterministic=deterministic)
-        scores = self.scoring_function(triples, z)
+        scores = self.scoring_function(triples, z, batch_layouts=batch_layouts)
         penalty = self.compute_penalty(
             triples, z,
             penalty_weights=penalty_weights,

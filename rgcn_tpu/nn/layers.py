@@ -301,6 +301,44 @@ class RGCNConv(nn.Module):
             self_msg = x @ weights[-1]
         return agg + self._masked_self(self_msg, self_mask, deterministic)
 
+    # Expanding block-diagonal weights costs R'·din·dout memory; cap it.
+    _BLOCK_EXPAND_MAX_ELEMS = 64_000_000
+
+    def _block_messages(self, edges, x, blocks):
+        """Block-diagonal general-relation messages + aggregation.
+
+        On the Pallas path the blocks are EXPANDED to dense per-relation
+        matrices and run through the dense SpMM kernels: XLA lowers the
+        blockwise einsum (e.g. FB-toy: 100 blocks of 2×2) to thousands of
+        tiny batched matmuls that measure ~4× slower than the dense
+        kernel's wastefully-dense-but-MXU-shaped compute. Parameters stay
+        decomposed (that is the point of the decomposition); the expansion
+        is a cheap traced scatter whose autodiff maps gradients back to
+        the blocks."""
+        r, nb, ib, ob = blocks.shape
+        din, dout = nb * ib, nb * ob
+        if (
+            self._use_pallas(edges)
+            and edges.reverse is not None
+            and r * din * dout <= self._BLOCK_EXPAND_MAX_ELEMS
+        ):
+            from rgcn_tpu.ops.pallas_spmm import rel_spmm_pallas_ad
+
+            rows = jnp.arange(din)
+            blk = rows // ib
+            cols = blk[:, None] * ob + jnp.arange(ob)[None, :]  # (din, ob)
+            w_dense = jnp.zeros((r, din, dout), blocks.dtype)
+            w_dense = w_dense.at[:, rows[:, None], cols].set(
+                blocks.reshape(r, din, ob)
+            )
+            return rel_spmm_pallas_ad(
+                edges, self._fan(x), self._fan(w_dense)
+            )
+        return spmm_ops.rel_spmm_block(
+            edges, self._fan(x), self._fan(blocks),
+            aggregate=self._aggregate_fn(edges),
+        )
+
     def _block_path(self, edges, x, self_mask, deterministic):
         if self.num_blocks <= 0:
             raise ValueError("block decomposition needs num_blocks > 0")
@@ -333,10 +371,7 @@ class RGCNConv(nn.Module):
             self_weight = self.param(
                 "self_weight", blk_init, (din, dout), self.param_dtype
             )
-            agg = spmm_ops.rel_spmm_block(
-                edges, self._fan(x), self._fan(blocks),
-                aggregate=self._aggregate_fn(edges),
-            )
+            agg = self._block_messages(edges, x, blocks)
             agg = self._reduce(agg)
             self_msg = x @ self_weight
         else:
@@ -349,10 +384,7 @@ class RGCNConv(nn.Module):
                 (self.num_relations, self.num_blocks, ib, ob),
                 self.param_dtype,
             )
-            agg = spmm_ops.rel_spmm_block(
-                edges, self._fan(x), self._fan(blocks[:-1]),
-                aggregate=self._aggregate_fn(edges),
-            )
+            agg = self._block_messages(edges, x, blocks[:-1])
             agg = self._reduce(agg)
             xb = x.reshape(self.num_nodes, self.num_blocks, ib)
             self_msg = jnp.einsum("nbi,bio->nbo", xb, blocks[-1]).reshape(
@@ -409,13 +441,22 @@ class DistMult(nn.Module):
         else:
             self.sbias = self.obias = self.pbias = None
 
-    def __call__(self, triples: jax.Array, nodes: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        triples: jax.Array,
+        nodes: jax.Array,
+        batch_layouts=None,
+    ) -> jax.Array:
         fan = self._fan
-        if self.sbias is None and self._use_pallas():
+        if (
+            batch_layouts is not None
+            and self.sbias is None
+            and self._use_pallas()
+        ):
             from rgcn_tpu.ops.pallas_distmult import distmult_score_agg_ad
 
             return distmult_score_agg_ad(
-                triples, fan(nodes), fan(self.relations)
+                triples, fan(nodes), fan(self.relations), batch_layouts
             )
         return distmult_ops.distmult_score(
             triples, fan(nodes), fan(self.relations),

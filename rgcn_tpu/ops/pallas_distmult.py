@@ -11,29 +11,59 @@ This custom-VJP scorer keeps the forward identical
 (``distmult_score``, reference ``torch_rgcn/layers.py:86-98``) and rebuilds
 the backward TPU-first:
 
-* ``d nodes``: destination-sorted layouts over the batch's subject and
-  object columns are constructed *inside the backward* with the traced
-  layout builder (int sort + int scatter — cheap), and the per-triple
-  cotangent rows are reduced by the Pallas one-hot aggregation — no row
-  scatter anywhere.
-* ``d relations``: a transposed one-hot matmul
-  (``onehot(p)ᵀ @ rows`` on the MXU) — the relation vocabulary is small.
+* ``d nodes``: the per-triple cotangent rows reduce through the Pallas
+  one-hot aggregation over *precomputed* destination-sorted layouts of the
+  batch's subject and object columns. The layouts MUST come from the host
+  (:func:`build_batch_layouts`, overlapped in the training loop's epoch
+  pipeline): building them in-jit costs two device sorts over the batch
+  that measure *worse* than the scatters they replace.
+* ``d relations``: a transposed one-hot matmul (``onehot(p)ᵀ @ rows`` on
+  the MXU) — the relation vocabulary is small.
 
 The forward's gathered operands are saved as residuals so the backward
 performs no fresh feature gathers besides the two layout permutations.
 Bias-free scoring only (the shipped decoder configs set no biases); callers
-with biases use the plain XLA autodiff path.
+with biases — or without host layouts — use the plain XLA autodiff path.
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from rgcn_tpu.ops.distmult import distmult_score
-from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+from rgcn_tpu.ops.pallas_aggregate import (
+    DstLayout,
+    aggregate_presorted_pallas,
+    build_dst_layout,
+)
 
-__all__ = ["distmult_score_agg_ad"]
+__all__ = ["build_batch_layouts", "distmult_score_agg_ad"]
+
+
+def build_batch_layouts(
+    batch: np.ndarray,
+    num_nodes: int,
+    row_block: int = 128,
+    chunk: int = 256,
+) -> Tuple[DstLayout, DstLayout]:
+    """Host-side aggregation layouts over a scoring batch's subject and
+    object columns, padded to shape-stable totals (one compile across
+    epochs for a fixed batch size)."""
+    batch = np.asarray(batch)
+    nrb = -(-num_nodes // row_block)
+    pad_to = nrb * chunk + (-(-len(batch) // chunk)) * chunk
+    s_lay = build_dst_layout(
+        batch[:, 0], num_nodes, row_block=row_block, chunk=chunk,
+        pad_to=pad_to,
+    )
+    o_lay = build_dst_layout(
+        batch[:, 2], num_nodes, row_block=row_block, chunk=chunk,
+        pad_to=pad_to,
+    )
+    return s_lay, o_lay
 
 
 def _fwd_impl(triples, nodes, relations):
@@ -48,24 +78,20 @@ def _fwd_impl(triples, nodes, relations):
 
 
 @jax.custom_vjp
-def distmult_score_agg_ad(triples, nodes, relations):
-    """``distmult_score`` (no biases) with a scatter-free backward."""
+def distmult_score_agg_ad(triples, nodes, relations, layouts):
+    """``distmult_score`` (no biases) with a scatter-free backward.
+
+    ``layouts = (s_layout, o_layout)`` from :func:`build_batch_layouts`.
+    """
     return _fwd_impl(triples, nodes, relations)[0]
 
 
-def _agg_fwd(triples, nodes, relations):
+def _agg_fwd(triples, nodes, relations, layouts):
     scores, res = _fwd_impl(triples, nodes, relations)
-    n = nodes.shape[0]
-    return scores, (res, n, relations.shape[0])
+    return scores, (res, nodes.shape[0], relations.shape[0], layouts)
 
 
-def _rows_to_nodes(rows, idx, num_nodes):
-    """Σ_{b: idx_b = n} rows[b] via in-jit layout + one-hot aggregation."""
-    from rgcn_tpu.graph.dynamic import build_dst_layout_dynamic
-
-    lay = build_dst_layout_dynamic(
-        idx.astype(jnp.int32), num_nodes, row_block=128, chunk=256
-    )
+def _rows_to_nodes(rows, lay: DstLayout, num_nodes: int):
     rows_z = jnp.concatenate(
         [rows, jnp.zeros((1, rows.shape[-1]), rows.dtype)], axis=0
     )
@@ -74,10 +100,8 @@ def _rows_to_nodes(rows, idx, num_nodes):
 
 
 def _agg_bwd(res, g):
-    (triples, zs, zo, rp), num_nodes, num_rels = res
-    s = triples[..., 0]
+    (triples, zs, zo, rp), num_nodes, num_rels, (s_lay, o_lay) = res
     p = triples[..., 1]
-    o = triples[..., 2]
     gb = g[:, None]
 
     # d relations: transposed one-hot matmul (small vocabulary)
@@ -88,10 +112,10 @@ def _agg_bwd(res, g):
     drel = onehot_p.T @ rows_p  # (R, d) on the MXU
 
     # d nodes: subject and object contributions, scatter-free
-    dz = _rows_to_nodes(gb * rp * zo, s, num_nodes) + _rows_to_nodes(
-        gb * rp * zs, o, num_nodes
+    dz = _rows_to_nodes(gb * rp * zo, s_lay, num_nodes) + _rows_to_nodes(
+        gb * rp * zs, o_lay, num_nodes
     )
-    return None, dz.astype(zs.dtype), drel.astype(rp.dtype)
+    return None, dz.astype(zs.dtype), drel.astype(rp.dtype), None
 
 
 distmult_score_agg_ad.defvjp(_agg_fwd, _agg_bwd)

@@ -39,7 +39,8 @@ from rgcn_tpu.train.evaluate import (
     evaluate_ranking,
     ranking_metrics,
 )
-from rgcn_tpu.train.negative import corrupt_batch
+from rgcn_tpu.ops.pallas_distmult import build_batch_layouts
+from rgcn_tpu.train.negative import corrupt_batch, corrupt_batch_host
 from rgcn_tpu.train.optim import make_optimizer
 from rgcn_tpu.train.samplers import select_sampler
 from rgcn_tpu.utils.logging import ScalarLogger
@@ -170,6 +171,7 @@ def train_link_predictor(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     pallas_train_step: Optional[bool] = None,
+    host_graph_build: Optional[bool] = None,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
     logger = logger or ScalarLogger()
@@ -219,16 +221,29 @@ def train_link_predictor(
     # so the whole build (dropout masking, sorts, degree renormalization,
     # tiling, Pallas layouts for forward AND reverse) runs in the
     # background epoch pipeline instead of as in-jit sorts/scatters on the
-    # device (measured ~35 ms of a 43 ms WN18-scale step). Bit-identical
-    # to the traced builder (tests/test_dynamic_graph.py).
-    host_graph_build = pallas_train_step
+    # device (~10 ms cheaper per WN18-scale step). Bit-identical to the
+    # traced builder (tests/test_dynamic_graph.py). Enabled on real local
+    # TPU backends, where the per-epoch ~8 MB EdgeSet transfer rides PCIe;
+    # on the tunneled 'axon' backend host->device transfers pay a network
+    # round-trip that outweighs the device-time win, so the in-jit build
+    # stays (override with host_graph_build).
+    if host_graph_build is None:
+        host_graph_build = (
+            pallas_train_step and jax.default_backend() == "tpu"
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, positives, edges, key):
+    def step(params, opt_state, positives, edges, hosted, key):
         k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
-        batch, labels = corrupt_batch(
-            k_neg, positives, num_nodes, num_neg, head_prob
-        )
+        if hosted is not None:
+            # negatives + scoring-batch aggregation layouts precomputed in
+            # the background epoch pipeline (scatter-free decoder backward)
+            batch, labels, batch_layouts = hosted
+        else:
+            batch_layouts = None
+            batch, labels = corrupt_batch(
+                k_neg, positives, num_nodes, num_neg, head_prob
+            )
         if edges is None:
             edges = build_edge_set_dynamic(
                 positives,
@@ -254,6 +269,7 @@ def train_link_predictor(
                 self_mask=self_mask,
                 deterministic=False,
                 rngs={"dropout": k_sl},
+                batch_layouts=batch_layouts,
             )
             loss = optax.sigmoid_binary_cross_entropy(scores, labels).mean()
             return loss + cfg.decoder.l2_penalty * penalty
@@ -314,14 +330,22 @@ def train_link_predictor(
                 train_np, batch_size, np.random.default_rng((seed, epoch))
             )
         if not host_graph_build:
-            return positives, None
+            return positives, None, None
         edges = build_edge_set_dynamic_host(
             positives, num_nodes, num_rels, tile_size=tile_size,
             dropout_rate=general_dropout,
             dropout_rng=np.random.default_rng((seed, epoch, 7)),
             with_dst_layout=True, row_block=128, layout_chunk=256,
         )
-        return positives, edges
+        # negatives + scoring-batch layouts for the scatter-free decoder
+        # backward (ops/pallas_distmult.py) — in-jit layout builds cost
+        # device sorts that outweigh the scatters they remove
+        batch, labels = corrupt_batch_host(
+            np.random.default_rng((seed, epoch, 11)),
+            positives, num_nodes, num_neg, head_prob,
+        )
+        layouts = build_batch_layouts(batch, num_nodes)
+        return positives, edges, (batch, labels, layouts)
 
     # Background sampling pipeline: each epoch's subgraph is drawn by a
     # worker thread 1-2 epochs ahead while the device executes earlier
@@ -342,18 +366,19 @@ def train_link_predictor(
         return out
 
     mrr, hits, ranks = 0.0, (0.0, 0.0, 0.0), np.array([])
-    positives, epoch_edges = get_positives(start_epoch)
+    positives, epoch_edges, epoch_hosted = get_positives(start_epoch)
     for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(positives), epoch_edges, sub
+            params, opt_state, jnp.asarray(positives), epoch_edges,
+            epoch_hosted, sub
         )
         # the NEXT epoch's subgraph is (being) sampled AND built in the
         # background while the device executes this step; the loss fetch
         # is the sync point
         if epoch < epochs:
-            positives, epoch_edges = get_positives(epoch + 1)
+            positives, epoch_edges, epoch_hosted = get_positives(epoch + 1)
         loss = float(loss)
         t2 = time.time()
 

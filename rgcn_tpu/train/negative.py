@@ -59,3 +59,39 @@ def corrupt_batch(
         ]
     )
     return batch, labels
+
+
+def corrupt_batch_host(
+    rng,
+    positives,
+    num_nodes: int,
+    num_negatives: int,
+    head_prob: float,
+):
+    """Host (NumPy) mirror of :func:`corrupt_batch` for the background
+    epoch pipeline: drawing the negatives on host lets the pipeline also
+    precompute the scoring batch's subject/object aggregation layouts for
+    the scatter-free decoder backward (ops/pallas_distmult.py) — building
+    those in-jit costs device sorts that outweigh the scatter they remove.
+    Same process (repeat ns times, Bernoulli head/tail, uniform entity),
+    host RNG stream."""
+    import numpy as np
+
+    positives = np.asarray(positives)
+    bsz = positives.shape[0]
+    expanded = np.repeat(positives, num_negatives, axis=0)
+    corruptions = rng.integers(
+        0, num_nodes, bsz * num_negatives
+    ).astype(positives.dtype)
+    corrupt_head = rng.random(bsz * num_negatives) < head_prob
+    s = np.where(corrupt_head, corruptions, expanded[:, 0])
+    o = np.where(corrupt_head, expanded[:, 2], corruptions)
+    negatives = np.stack([s, expanded[:, 1], o], axis=1)
+    batch = np.concatenate([positives, negatives], axis=0)
+    labels = np.concatenate(
+        [
+            np.ones(bsz, dtype=np.float32),
+            np.zeros(len(negatives), dtype=np.float32),
+        ]
+    )
+    return batch, labels

@@ -187,26 +187,31 @@ def test_distmult_scatter_free_backward_matches_xla():
     scores and (d nodes, d relations) must match XLA autodiff exactly
     (interpret-mode aggregation on CPU)."""
     from rgcn_tpu.ops.distmult import distmult_score
-    from rgcn_tpu.ops.pallas_distmult import distmult_score_agg_ad
+    from rgcn_tpu.ops.pallas_distmult import (
+        build_batch_layouts,
+        distmult_score_agg_ad,
+    )
 
     rng = np.random.default_rng(13)
     n, r, d, b = 50, 5, 16, 300
-    triples = jnp.asarray(
-        np.stack([rng.integers(0, n, b), rng.integers(0, r, b),
-                  rng.integers(0, n, b)], axis=1)
-    )
+    batch_np = np.stack([rng.integers(0, n, b), rng.integers(0, r, b),
+                         rng.integers(0, n, b)], axis=1)
+    triples = jnp.asarray(batch_np)
     nodes = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
     rels = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    layouts = build_batch_layouts(batch_np, n, row_block=8, chunk=16)
 
     want_s = np.asarray(distmult_score(triples, nodes, rels))
-    got_s = np.asarray(distmult_score_agg_ad(triples, nodes, rels))
+    got_s = np.asarray(distmult_score_agg_ad(triples, nodes, rels, layouts))
     np.testing.assert_allclose(got_s, want_s, rtol=1e-6, atol=1e-6)
 
     def loss_x(nodes, rels):
         return jnp.sum(jnp.sin(distmult_score(triples, nodes, rels)))
 
     def loss_p(nodes, rels):
-        return jnp.sum(jnp.sin(distmult_score_agg_ad(triples, nodes, rels)))
+        return jnp.sum(
+            jnp.sin(distmult_score_agg_ad(triples, nodes, rels, layouts))
+        )
 
     gx = jax.grad(loss_x, argnums=(0, 1))(nodes, rels)
     gp = jax.grad(loss_p, argnums=(0, 1))(nodes, rels)
