@@ -184,6 +184,29 @@ class LinkPredictor(nn.Module):
         batch_layouts=None,  # host-built scoring-batch aggregation layouts
     ) -> Tuple[jax.Array, jax.Array]:
         z = self.encode(edges, self_mask=self_mask, deterministic=deterministic)
+        if (
+            batch_layouts is not None
+            and self.decoder_l2 > 0.0
+            and self.decoder_l2_type == "schlichtkrull-l2"
+            and self.decoder_bias_init is None
+            and self.scoring_function._use_pallas()
+        ):
+            # Fused score + penalty: the penalty cotangent rides the same
+            # scatter-free aggregations as the score (otherwise its
+            # backward adds two more per-triple row scatters into d z).
+            bsz = triples.shape[0]
+            if penalty_weights is not None:
+                total = (
+                    penalty_total
+                    if penalty_total is not None
+                    else jnp.sum(penalty_weights)
+                )
+                pw = penalty_weights / total
+            else:
+                pw = jnp.full((bsz,), 1.0 / bsz, jnp.float32)
+            return self.scoring_function.score_with_s_penalty(
+                triples, z, pw, batch_layouts
+            )
         scores = self.scoring_function(triples, z, batch_layouts=batch_layouts)
         penalty = self.compute_penalty(
             triples, z,

@@ -465,6 +465,25 @@ class DistMult(nn.Module):
             obias=None if self.obias is None else fan(self.obias),
         )
 
+    def score_with_s_penalty(
+        self,
+        triples: jax.Array,
+        nodes: jax.Array,
+        pw: jax.Array,
+        batch_layouts,
+    ):
+        """Fused ``(scores, schlichtkrull penalty)`` with the scatter-free
+        backward (``pw`` = per-row penalty weights; see
+        ops/pallas_distmult.py). Bias-free scoring only."""
+        from rgcn_tpu.ops.pallas_distmult import (
+            distmult_score_spenalty_agg_ad,
+        )
+
+        fan = self._fan
+        return distmult_score_spenalty_agg_ad(
+            triples, fan(nodes), fan(self.relations), pw, batch_layouts
+        )
+
     def s_penalty(
         self,
         triples: jax.Array,

@@ -40,7 +40,11 @@ from rgcn_tpu.ops.pallas_aggregate import (
     build_dst_layout,
 )
 
-__all__ = ["build_batch_layouts", "distmult_score_agg_ad"]
+__all__ = [
+    "build_batch_layouts",
+    "distmult_score_agg_ad",
+    "distmult_score_spenalty_agg_ad",
+]
 
 
 def build_batch_layouts(
@@ -119,3 +123,69 @@ def _agg_bwd(res, g):
 
 
 distmult_score_agg_ad.defvjp(_agg_fwd, _agg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused score + schlichtkrull-L2 penalty. The penalty
+# (``mean_b [mean_d z[s]² + mean_d r[p]² + mean_d z[o]²]``,
+# reference torch_rgcn/layers.py:77-84) backpropagates ``2·z[s]``-shaped
+# rows into d nodes at the SAME subject/object positions as the score —
+# left to XLA autodiff it adds two more 330k-row scatter-adds per step.
+# Fusing it here makes its cotangent ride the same one-hot aggregations
+# for free (one fused row per triple per side).
+# ---------------------------------------------------------------------------
+
+
+def _score_pen_fwd_impl(triples, nodes, relations, pw):
+    s = triples[..., 0]
+    p = triples[..., 1]
+    o = triples[..., 2]
+    zs = nodes[s]
+    zo = nodes[o]
+    rp = relations[p]
+    scores = jnp.sum(zs * rp * zo, axis=-1)
+    per_row = (
+        jnp.mean(zs**2, axis=-1)
+        + jnp.mean(rp**2, axis=-1)
+        + jnp.mean(zo**2, axis=-1)
+    )
+    penalty = jnp.sum(per_row * pw)
+    return (scores, penalty), (triples, zs, zo, rp, pw)
+
+
+@jax.custom_vjp
+def distmult_score_spenalty_agg_ad(triples, nodes, relations, pw, layouts):
+    """``(scores, schlichtkrull penalty)`` with a scatter-free backward.
+
+    ``pw``: per-row penalty weights (``1/B`` for the plain mean; ``w/total``
+    for padded/sharded batches — matches
+    :meth:`rgcn_tpu.nn.layers.DistMult.s_penalty` semantics).
+    """
+    return _score_pen_fwd_impl(triples, nodes, relations, pw)[0]
+
+
+def _sp_fwd(triples, nodes, relations, pw, layouts):
+    out, res = _score_pen_fwd_impl(triples, nodes, relations, pw)
+    return out, (res, nodes.shape[0], relations.shape[0], layouts)
+
+
+def _sp_bwd(res, g):
+    (triples, zs, zo, rp, pw), num_nodes, num_rels, (s_lay, o_lay) = res
+    gs, gp = g  # cotangents of (scores, penalty)
+    p = triples[..., 1]
+    d = zs.shape[-1]
+    gb = gs[:, None]
+    pen_coeff = (gp * pw * (2.0 / d))[:, None]
+
+    rows_p = gb * zs * zo + pen_coeff * rp
+    onehot_p = (
+        p[:, None] == jnp.arange(num_rels, dtype=p.dtype)[None, :]
+    ).astype(rows_p.dtype)
+    drel = onehot_p.T @ rows_p
+
+    dz = _rows_to_nodes(gb * rp * zo + pen_coeff * zs, s_lay, num_nodes)
+    dz = dz + _rows_to_nodes(gb * rp * zs + pen_coeff * zo, o_lay, num_nodes)
+    return None, dz.astype(zs.dtype), drel.astype(rp.dtype), None, None
+
+
+distmult_score_spenalty_agg_ad.defvjp(_sp_fwd, _sp_bwd)

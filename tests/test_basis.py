@@ -219,3 +219,44 @@ def test_distmult_scatter_free_backward_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5
         )
+
+
+def test_lp_model_fused_score_penalty_matches_xla():
+    """LinkPredictor with host batch layouts routes score+penalty through
+    the fused scatter-free VJP; loss and parameter gradients must match
+    the plain XLA path."""
+    from rgcn_tpu.graph.structure import build_edge_set as _bes
+    from rgcn_tpu.models import LinkPredictor
+    from rgcn_tpu.ops.pallas_distmult import build_batch_layouts
+
+    rng = np.random.default_rng(14)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    batch_np = np.stack(
+        [rng.integers(0, n, 120), rng.integers(0, r, 120),
+         rng.integers(0, n, 120)], axis=1,
+    )
+    batch = jnp.asarray(batch_np)
+    edges = _bes(triples, n, r, tile_size=16, with_dst_layout=True)
+    layouts = build_batch_layouts(batch_np, n, row_block=8, chunk=16)
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    m_x = LinkPredictor(backend="xla", **kwargs)
+    m_p = LinkPredictor(backend="pallas", **kwargs)
+    params = m_x.init({"params": jax.random.key(2)}, edges, batch)
+
+    def loss(model, p, bl):
+        scores, pen = model.apply(p, edges, batch, batch_layouts=bl)
+        return jnp.mean(jnp.tanh(scores)) + 0.01 * pen
+
+    lx, gx = jax.value_and_grad(lambda p: loss(m_x, p, None))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss(m_p, p, layouts))(params)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
