@@ -113,6 +113,7 @@ def main():
         num_nodes=lp_n, num_relations=lp_r, emb_dim=200, hidden1_size=200,
         num_layers=1, decomposition="basis", num_bases=2,
         weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
     )
     pos0 = jnp.asarray(lp_triples[:lp_b])
     edges0 = build_edge_set_dynamic(pos0, lp_n, lp_r, tile_size=128)
@@ -131,7 +132,10 @@ def main():
 
         def loss_fn(p):
             scores, pen = model.apply(p, edges, batch)
-            return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+                + 0.01 * pen
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
@@ -171,9 +175,10 @@ def main():
             scores, pen = model.apply(
                 p, es_host, batch_h, batch_layouts=layouts_h
             )
-            return optax.sigmoid_binary_cross_entropy(
-                scores, labels_h
-            ).mean()
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels_h).mean()
+                + 0.01 * pen
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
