@@ -162,19 +162,32 @@ def main():
         with_dst_layout=on_accel,
         row_block=128, layout_chunk=256,
     )
-    batch_h, labels_h = corrupt_batch_host(
-        np.random.default_rng(4), np.asarray(pos0), lp_n, 10, 0.5
+    from rgcn_tpu.ops.pallas_distmult import build_structured_layouts
+
+    batch_h, labels_h, ch_h, ce_h = corrupt_batch_host(
+        np.random.default_rng(4), np.asarray(pos0), lp_n, 10, 0.5,
+        return_structure=True,
     )
-    layouts_h = build_batch_layouts(batch_h, lp_n) if on_accel else None
-    batch_h = jnp.asarray(batch_h)
+    if on_accel:
+        st_lays = build_structured_layouts(np.asarray(pos0), ce_h, lp_n)
+    else:
+        st_lays = None
     labels_h = jnp.asarray(labels_h)
+    ch_h = jnp.asarray(ch_h)
+    ce_h = jnp.asarray(ce_h)
+    pw_h = jnp.full((labels_h.shape[0],), 1.0 / labels_h.shape[0], jnp.float32)
+    batch_h = jnp.asarray(batch_h)
 
     @jax.jit
     def lp_step_host(params, opt_state, key):
         def loss_fn(p):
-            scores, pen = model.apply(
-                p, es_host, batch_h, batch_layouts=layouts_h
-            )
+            if st_lays is not None:
+                scores, pen = model.apply(
+                    p, es_host, pos0, ch_h, ce_h, pw_h, st_lays,
+                    method=model.structured_scores,
+                )
+            else:
+                scores, pen = model.apply(p, es_host, batch_h)
             return (
                 optax.sigmoid_binary_cross_entropy(scores, labels_h).mean()
                 + 0.01 * pen

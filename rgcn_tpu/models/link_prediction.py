@@ -215,6 +215,27 @@ class LinkPredictor(nn.Module):
         )
         return scores, penalty
 
+    def structured_scores(
+        self,
+        edges: EdgeSet,
+        positives: jax.Array,
+        corrupt_head: jax.Array,
+        corrupt_ent: jax.Array,
+        pw: jax.Array,
+        layouts,
+        *,
+        self_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Training scores over [positives ; structured negatives] plus the
+        schlichtkrull penalty — the production LP step path (host-drawn
+        negatives, 2.5× fewer query gathers, fully scatter-free backward).
+        Requires a bias-free schlichtkrull(-or-off) decoder."""
+        z = self.encode(edges, self_mask=self_mask, deterministic=deterministic)
+        return self.scoring_function.structured_scores_with_penalty(
+            positives, corrupt_head, corrupt_ent, z, pw, layouts
+        )
+
     # Evaluation sweeps (encode-once path) -------------------------------
     def score_heads(
         self, batch: jax.Array, z: jax.Array, candidate_slice=None

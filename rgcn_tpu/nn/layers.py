@@ -484,6 +484,26 @@ class DistMult(nn.Module):
             triples, fan(nodes), fan(self.relations), pw, batch_layouts
         )
 
+    def structured_scores_with_penalty(
+        self,
+        positives: jax.Array,
+        corrupt_head: jax.Array,
+        corrupt_ent: jax.Array,
+        nodes: jax.Array,
+        pw: jax.Array,
+        layouts,
+    ):
+        """Structured-negatives ``(scores, schlichtkrull penalty)`` with the
+        scatter-free backward (see ops/pallas_distmult.py): 3P + Ns query
+        row gathers instead of 3(P + Ns). Bias-free scoring only."""
+        from rgcn_tpu.ops.pallas_distmult import distmult_structured_agg_ad
+
+        fan = self._fan
+        return distmult_structured_agg_ad(
+            positives, corrupt_head, corrupt_ent,
+            fan(nodes), fan(self.relations), pw, layouts,
+        )
+
     def s_penalty(
         self,
         triples: jax.Array,

@@ -42,8 +42,10 @@ from rgcn_tpu.ops.pallas_aggregate import (
 
 __all__ = [
     "build_batch_layouts",
+    "build_structured_layouts",
     "distmult_score_agg_ad",
     "distmult_score_spenalty_agg_ad",
+    "distmult_structured_agg_ad",
 ]
 
 
@@ -189,3 +191,158 @@ def _sp_bwd(res, g):
 
 
 distmult_score_spenalty_agg_ad.defvjp(_sp_fwd, _sp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Structured negative scoring. The training batch is [positives ;
+# negatives] with negatives[i] = positives[i // ns] corrupted on ONE side
+# (reference utils/misc.py:174-189), so the uncorrupted side's query rows
+# are repeats: precomputing q = z[s]·r[p] and k = r[p]·z[o] per positive
+# costs 3·P row gathers and each negative then needs only its fresh
+# corrupted-entity row — 3P + Ns gathers instead of 3(P + Ns) (2.5× fewer
+# at ns = 10; row gathers are latency-bound). The backward pre-reduces the
+# uncorrupted-side and relation cotangents densely over the ns axis, so
+# two of the three aggregations shrink from B rows to P rows.
+# ---------------------------------------------------------------------------
+
+
+def build_structured_layouts(
+    positives: np.ndarray,
+    corrupt_ent: np.ndarray,
+    num_nodes: int,
+    row_block: int = 128,
+    chunk: int = 256,
+):
+    """Host layouts for the structured backward: corrupted entities (Ns),
+    positives' subjects (P), positives' objects (P)."""
+    positives = np.asarray(positives)
+    corrupt_ent = np.asarray(corrupt_ent)
+    nrb = -(-num_nodes // row_block)
+
+    def lay(ids):
+        pad_to = nrb * chunk + (-(-len(ids) // chunk)) * chunk
+        return build_dst_layout(
+            ids, num_nodes, row_block=row_block, chunk=chunk, pad_to=pad_to
+        )
+
+    return lay(corrupt_ent), lay(positives[:, 0]), lay(positives[:, 2])
+
+
+def _structured_fwd_impl(positives, corrupt_head, corrupt_ent, nodes,
+                         relations, pw):
+    p_count = positives.shape[0]
+    ns = corrupt_ent.shape[0] // p_count
+    d = nodes.shape[-1]
+
+    s = positives[:, 0]
+    p = positives[:, 1]
+    o = positives[:, 2]
+    zs = nodes[s]
+    zo = nodes[o]
+    rp = relations[p]
+    pos_scores = jnp.sum(zs * rp * zo, axis=-1)
+
+    q = zs * rp  # tail-corruption query
+    k = rp * zo  # head-corruption query
+    zc = nodes[corrupt_ent].reshape(p_count, ns, d)
+    ch = corrupt_head.reshape(p_count, ns)
+    qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
+    neg_scores = jnp.sum(qk * zc, axis=-1)  # (P, ns)
+    scores = jnp.concatenate([pos_scores, neg_scores.reshape(-1)])
+
+    # schlichtkrull penalty, structured: per-parent means reused
+    a2 = jnp.mean(zs**2, axis=-1)
+    b2 = jnp.mean(rp**2, axis=-1)
+    c2 = jnp.mean(zo**2, axis=-1)
+    zc2 = jnp.mean(zc**2, axis=-1)  # (P, ns)
+    pos_rows = a2 + b2 + c2
+    neg_rows = zc2 + jnp.where(
+        ch, (b2 + c2)[:, None], (a2 + b2)[:, None]
+    )
+    pw_pos = pw[:p_count]
+    pw_neg = pw[p_count:].reshape(p_count, ns)
+    penalty = jnp.sum(pos_rows * pw_pos) + jnp.sum(neg_rows * pw_neg)
+    return (scores, penalty), (
+        positives, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg
+    )
+
+
+@jax.custom_vjp
+def distmult_structured_agg_ad(
+    positives, corrupt_head, corrupt_ent, nodes, relations, pw, layouts
+):
+    """``(scores [positives; negatives], schlichtkrull penalty)`` for a
+    structured training batch, with the fully scatter-free backward.
+
+    ``layouts = (corrupt_layout, subj_layout, obj_layout)`` from
+    :func:`build_structured_layouts`; ``pw`` = per-row penalty weights
+    over the assembled batch (positives first)."""
+    return _structured_fwd_impl(
+        positives, corrupt_head, corrupt_ent, nodes, relations, pw
+    )[0]
+
+
+def _st_fwd(positives, corrupt_head, corrupt_ent, nodes, relations, pw,
+            layouts):
+    out, res = _structured_fwd_impl(
+        positives, corrupt_head, corrupt_ent, nodes, relations, pw
+    )
+    return out, (res, nodes.shape[0], relations.shape[0], layouts)
+
+
+def _st_bwd(res, g):
+    (positives, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg), num_nodes, \
+        num_rels, (c_lay, s_lay, o_lay) = res
+    gs, gp = g
+    p_count, ns, d = zc.shape
+    p = positives[:, 1]
+    gs_pos = gs[:p_count]
+    gs_neg = gs[p_count:].reshape(p_count, ns)
+    pc = gp * (2.0 / d)
+
+    chf = ch[..., None].astype(zc.dtype)
+    qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
+
+    # 1) corrupted entities: one fused row per negative (score + penalty)
+    rows_c = gs_neg[..., None] * qk + (pc * pw_neg)[..., None] * zc
+    dz = _rows_to_nodes(rows_c.reshape(-1, d), c_lay, num_nodes)
+
+    # 2) positives' subjects: score (pos + tail-corrupt negs via dense
+    #    ns-reduction) + penalty (pos + tail-corrupt neg uncorrupted side)
+    gzc_tail = jnp.sum((1.0 - chf) * gs_neg[..., None] * zc, axis=1)
+    pw_tail = jnp.sum(jnp.where(ch, 0.0, pw_neg), axis=1)
+    s_rows = (
+        gs_pos[:, None] * rp * zo
+        + rp * gzc_tail
+        + (pc * (pw_pos + pw_tail))[:, None] * zs
+    )
+    dz = dz + _rows_to_nodes(s_rows, s_lay, num_nodes)
+
+    # 3) positives' objects: symmetric (head-corrupt negs)
+    gzc_head = jnp.sum(chf * gs_neg[..., None] * zc, axis=1)
+    pw_head = jnp.sum(jnp.where(ch, pw_neg, 0.0), axis=1)
+    o_rows = (
+        gs_pos[:, None] * rp * zs
+        + rp * gzc_head
+        + (pc * (pw_pos + pw_head))[:, None] * zo
+    )
+    dz = dz + _rows_to_nodes(o_rows, o_lay, num_nodes)
+
+    # d relations: P rows (negatives pre-reduced over ns)
+    pw_all = pw_pos + jnp.sum(pw_neg, axis=1)
+    rel_rows = (
+        gs_pos[:, None] * zs * zo
+        + zo * gzc_head
+        + zs * gzc_tail
+        + (pc * pw_all)[:, None] * rp
+    )
+    onehot_p = (
+        p[:, None] == jnp.arange(num_rels, dtype=p.dtype)[None, :]
+    ).astype(rel_rows.dtype)
+    drel = onehot_p.T @ rel_rows
+
+    return (None, None, None, dz.astype(zs.dtype), drel.astype(rp.dtype),
+            None, None)
+
+
+distmult_structured_agg_ad.defvjp(_st_fwd, _st_bwd)

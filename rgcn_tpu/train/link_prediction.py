@@ -39,7 +39,10 @@ from rgcn_tpu.train.evaluate import (
     evaluate_ranking,
     ranking_metrics,
 )
-from rgcn_tpu.ops.pallas_distmult import build_batch_layouts
+from rgcn_tpu.ops.pallas_distmult import (
+    build_batch_layouts,
+    build_structured_layouts,
+)
 from rgcn_tpu.train.negative import corrupt_batch, corrupt_batch_host
 from rgcn_tpu.train.optim import make_optimizer
 from rgcn_tpu.train.samplers import select_sampler
@@ -235,10 +238,11 @@ def train_link_predictor(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, positives, edges, hosted, key):
         k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
+        structured = None
         if hosted is not None:
-            # negatives + scoring-batch aggregation layouts precomputed in
-            # the background epoch pipeline (scatter-free decoder backward)
-            batch, labels, batch_layouts = hosted
+            # negatives (+ layouts for the scatter-free decoder backward)
+            # precomputed in the background epoch pipeline
+            labels, batch, batch_layouts, structured = hosted
         else:
             batch_layouts = None
             batch, labels = corrupt_batch(
@@ -261,18 +265,49 @@ def train_link_predictor(
         else:
             self_mask = None
 
-        def loss_fn(p):
-            scores, penalty = model.apply(
-                p,
-                edges,
-                batch,
-                self_mask=self_mask,
-                deterministic=False,
-                rngs={"dropout": k_sl},
-                batch_layouts=batch_layouts,
+        if structured is not None:
+            ch_, ce_, st_lays = structured
+            bsz_total = labels.shape[0]
+            want_pen = (
+                cfg.decoder.l2_penalty > 0.0
+                and cfg.decoder.l2_penalty_type == "schlichtkrull-l2"
             )
-            loss = optax.sigmoid_binary_cross_entropy(scores, labels).mean()
-            return loss + cfg.decoder.l2_penalty * penalty
+            pw = jnp.full(
+                (bsz_total,),
+                (1.0 / bsz_total) if want_pen else 0.0,
+                jnp.float32,
+            )
+
+            def loss_fn(p):
+                scores, penalty = model.apply(
+                    p,
+                    edges,
+                    positives,
+                    ch_, ce_, pw, st_lays,
+                    method=model.structured_scores,
+                    self_mask=self_mask,
+                    deterministic=False,
+                    rngs={"dropout": k_sl},
+                )
+                loss = optax.sigmoid_binary_cross_entropy(
+                    scores, labels
+                ).mean()
+                return loss + cfg.decoder.l2_penalty * penalty
+        else:
+            def loss_fn(p):
+                scores, penalty = model.apply(
+                    p,
+                    edges,
+                    batch,
+                    self_mask=self_mask,
+                    deterministic=False,
+                    rngs={"dropout": k_sl},
+                    batch_layouts=batch_layouts,
+                )
+                loss = optax.sigmoid_binary_cross_entropy(
+                    scores, labels
+                ).mean()
+                return loss + cfg.decoder.l2_penalty * penalty
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -322,6 +357,18 @@ def train_link_predictor(
 
     from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
 
+    # structured negative scoring (2.5x fewer query gathers; see
+    # ops/pallas_distmult.py) needs a bias-free schlichtkrull-or-off
+    # decoder and the Pallas backend
+    structured_ok = (
+        pallas_train_step
+        and cfg.decoder.bias_init is None
+        and (
+            cfg.decoder.l2_penalty == 0.0
+            or cfg.decoder.l2_penalty_type == "schlichtkrull-l2"
+        )
+    )
+
     def sample_epoch(epoch):
         if batch_size >= len(train_np):
             positives = train_np
@@ -337,15 +384,19 @@ def train_link_predictor(
             dropout_rng=np.random.default_rng((seed, epoch, 7)),
             with_dst_layout=True, row_block=128, layout_chunk=256,
         )
-        # negatives + scoring-batch layouts for the scatter-free decoder
+        # negatives + scoring layouts for the scatter-free decoder
         # backward (ops/pallas_distmult.py) — in-jit layout builds cost
         # device sorts that outweigh the scatters they remove
-        batch, labels = corrupt_batch_host(
+        batch, labels, ch_, ce_ = corrupt_batch_host(
             np.random.default_rng((seed, epoch, 11)),
             positives, num_nodes, num_neg, head_prob,
+            return_structure=True,
         )
+        if structured_ok:
+            st_lays = build_structured_layouts(positives, ce_, num_nodes)
+            return positives, edges, (labels, None, None, (ch_, ce_, st_lays))
         layouts = build_batch_layouts(batch, num_nodes)
-        return positives, edges, (batch, labels, layouts)
+        return positives, edges, (labels, batch, layouts, None)
 
     # Background sampling pipeline: each epoch's subgraph is drawn by a
     # worker thread 1-2 epochs ahead while the device executes earlier

@@ -67,6 +67,7 @@ def corrupt_batch_host(
     num_nodes: int,
     num_negatives: int,
     head_prob: float,
+    return_structure: bool = False,
 ):
     """Host (NumPy) mirror of :func:`corrupt_batch` for the background
     epoch pipeline: drawing the negatives on host lets the pipeline also
@@ -94,4 +95,6 @@ def corrupt_batch_host(
             np.zeros(len(negatives), dtype=np.float32),
         ]
     )
+    if return_structure:
+        return batch, labels, corrupt_head, corruptions
     return batch, labels

@@ -260,3 +260,71 @@ def test_lp_model_fused_score_penalty_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_distmult_structured_matches_assembled_batch():
+    """Structured negative scoring == scoring the assembled
+    [positives; negatives] batch, for scores, penalty and all gradients."""
+    from rgcn_tpu.ops.distmult import distmult_score
+    from rgcn_tpu.ops.pallas_distmult import (
+        build_structured_layouts,
+        distmult_structured_agg_ad,
+    )
+
+    rng = np.random.default_rng(15)
+    n, r, d, P, ns = 40, 4, 12, 30, 5
+    pos_np = np.stack([rng.integers(0, n, P), rng.integers(0, r, P),
+                       rng.integers(0, n, P)], axis=1)
+    ch_np = rng.random(P * ns) < 0.5
+    ce_np = rng.integers(0, n, P * ns)
+
+    # assemble the equivalent batch the way corrupt_batch does
+    exp = np.repeat(pos_np, ns, axis=0)
+    s_neg = np.where(ch_np, ce_np, exp[:, 0])
+    o_neg = np.where(ch_np, exp[:, 2], ce_np)
+    batch_np = np.concatenate(
+        [pos_np, np.stack([s_neg, exp[:, 1], o_neg], axis=1)], axis=0
+    )
+    B = len(batch_np)
+    pw = np.full(B, 1.0 / B, np.float32)
+
+    nodes = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rels = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    layouts = build_structured_layouts(pos_np, ce_np, n, row_block=8, chunk=16)
+
+    pos = jnp.asarray(pos_np)
+    ch = jnp.asarray(ch_np)
+    ce = jnp.asarray(ce_np)
+    batch = jnp.asarray(batch_np)
+    pw_j = jnp.asarray(pw)
+
+    def oracle(nodes, rels):
+        sc = distmult_score(batch, nodes, rels)
+        zb = nodes[batch[:, 0]]
+        rb_ = rels[batch[:, 1]]
+        ob = nodes[batch[:, 2]]
+        per_row = (
+            jnp.mean(zb**2, -1) + jnp.mean(rb_**2, -1) + jnp.mean(ob**2, -1)
+        )
+        return sc, jnp.sum(per_row * pw_j)
+
+    def structured(nodes, rels):
+        return distmult_structured_agg_ad(
+            pos, ch, ce, nodes, rels, pw_j, layouts
+        )
+
+    sc_o, pen_o = oracle(nodes, rels)
+    sc_s, pen_s = structured(nodes, rels)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(pen_s), float(pen_o), rtol=1e-5)
+
+    def loss(fn, nodes, rels):
+        sc, pen = fn(nodes, rels)
+        return jnp.mean(jnp.tanh(sc)) + 0.01 * pen
+
+    go = jax.grad(lambda nz, rl: loss(oracle, nz, rl), argnums=(0, 1))(nodes, rels)
+    gt = jax.grad(lambda nz, rl: loss(structured, nz, rl), argnums=(0, 1))(nodes, rels)
+    for a, b in zip(gt, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
