@@ -328,3 +328,15 @@ def test_distmult_structured_matches_assembled_batch():
     for a, b in zip(gt, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tile_gather_exact():
+    from rgcn_tpu.ops.gather import tile_gather
+
+    rng = np.random.default_rng(16)
+    for shape in ((50, 300), (50, 128), (50, 37), (50, 3, 100)):
+        t = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 50, 77))
+        np.testing.assert_array_equal(
+            np.asarray(tile_gather(t, idx)), np.asarray(t[idx])
+        )
