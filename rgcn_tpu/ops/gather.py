@@ -31,10 +31,15 @@ def tile_gather(table: jax.Array, idx: jax.Array, tile: int = LANE_TILE):
         d = table.shape[1]
         if d <= tile:
             return table[idx]
-        parts = [
-            table[:, i : i + tile][idx] for i in range(0, d, tile)
-        ]
-        return jnp.concatenate(parts, axis=1)
+        # Wide rows currently stay on the plain gather. Measured facts
+        # (v5e, 255k rows): gathers from ≤128-column tables that enter the
+        # program as INPUT buffers run at ~1.7 ns/row vs ~7.5 for wide
+        # rows (4.5×) — but the trick does NOT survive in-graph
+        # materialization: slicing inside the program (with or without an
+        # optimization_barrier) keeps or worsens the slow path (~7.5-10
+        # ns/row), so only gathers whose tables cross a jit boundary can
+        # exploit it today (round-3: layout-pinned intermediates).
+        return table[idx]
     lead = table.shape[0]
     rest = table.shape[1:]
     flat = table.reshape(lead, -1)
