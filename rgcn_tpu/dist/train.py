@@ -43,7 +43,12 @@ from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
 from rgcn_tpu.ops.collectives import all_reduce
 from rgcn_tpu.train.negative import corrupt_batch
 
-__all__ = ["make_sharded_nc_step", "make_sharded_lp_step", "pad_to_multiple"]
+__all__ = [
+    "make_sharded_nc_step",
+    "make_sharded_lp_step",
+    "make_sharded_lp_step_hosted",
+    "pad_to_multiple",
+]
 
 
 def pad_to_multiple(n: int, m: int) -> int:
@@ -234,6 +239,91 @@ def make_sharded_lp_step(
 
         loss, grads = loss_and_grads(
             params, edges, batch, labels, weights, self_mask, k_sl
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_lp_step_hosted(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    num_nodes: int,
+    structural_self_keep: Optional[float] = None,
+    decoder_l2_weight: float = 0.0,
+    axis_name: str = EDGE_AXIS,
+) -> Callable:
+    """Sharded LP step consuming HOST-built inputs — the production
+    multi-chip shape: per-shard EdgeSets with Pallas layouts from
+    :func:`rgcn_tpu.dist.host.build_sharded_epoch_host` (stacked leaf-wise
+    over the edge axis) and a host-drawn scoring batch. No device sorts,
+    no in-jit graph work; the epoch pipeline overlaps all of it.
+
+    The returned step signature:
+    ``step(params, opt_state, stacked_edges, batch, labels, key)``.
+    """
+    all_axes = tuple(mesh.axis_names)
+    n_shards = mesh.size
+    espec = P(axis_name)
+    bspec = P(all_axes)
+
+    @jax.jit
+    def step(params, opt_state, stacked_edges, batch, labels, key):
+        k_self, k_sl = jax.random.split(key)
+        real = batch.shape[0]
+        padded = pad_to_multiple(real, n_shards)
+        weights = jnp.concatenate(
+            [jnp.ones((real,)), jnp.zeros((padded - real,))]
+        )
+        batch = jnp.concatenate(
+            [jnp.asarray(batch), jnp.zeros((padded - real, 3), jnp.int32)],
+            axis=0,
+        )
+        labels = jnp.concatenate(
+            [jnp.asarray(labels), jnp.zeros((padded - real,))]
+        )
+        if structural_self_keep is not None:
+            self_mask = jax.random.bernoulli(
+                k_self, structural_self_keep, (num_nodes, 1)
+            ).astype(jnp.float32)
+        else:
+            self_mask = None
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), espec, bspec, bspec, bspec, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def loss_and_grads(params, es_stacked, batch, labels, weights,
+                           self_mask, k_sl):
+            # strip the stacking dimension: every leaf arrives (1, ...)
+            edges = jax.tree.map(lambda a: a[0], es_stacked)
+
+            def loss_fn(p):
+                scores, penalty = model.apply(
+                    p,
+                    edges,
+                    batch,
+                    self_mask=self_mask,
+                    deterministic=False,
+                    rngs={"dropout": k_sl},
+                    penalty_weights=weights,
+                    penalty_total=jnp.asarray(real, jnp.float32),
+                )
+                bce = optax.sigmoid_binary_cross_entropy(scores, labels)
+                local = jnp.sum(bce * weights) / real
+                local = local + decoder_l2_weight * penalty
+                return all_reduce(local, all_axes)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        loss, grads = loss_and_grads(
+            params, stacked_edges, batch, labels, weights, self_mask, k_sl
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -31,6 +31,7 @@ __all__ = [
     "padded_size",
     "build_edge_set_dynamic",
     "build_edge_set_dynamic_host",
+    "attach_host_layouts",
     "build_dst_layout_dynamic",
     "self_loop_keep_mask",
 ]
@@ -414,8 +415,33 @@ def build_edge_set_dynamic_host(
     )
     if not with_dst_layout:
         return es
+    return attach_host_layouts(
+        es, row_block=row_block, layout_chunk=layout_chunk
+    )
 
+
+def attach_host_layouts(
+    es: EdgeSet,
+    row_block: int = 128,
+    layout_chunk: int = 256,
+) -> EdgeSet:
+    """Attach the (shape-stable) destination layout + reversed structure to
+    a host-built EdgeSet — also used per shard slice by the sharded host
+    pipeline (:mod:`rgcn_tpu.dist`)."""
     import dataclasses
+
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    import numpy as np
+
+    num_nodes = es.num_nodes
+    num_general = es.num_rels
+    tile_size = es.tile_size
+    src_p = np.asarray(es.src)
+    dst_p = np.asarray(es.dst)
+    rel_p = np.asarray(es.rel)
+    val_p = np.asarray(es.val)
+    e_pad = src_p.shape[0]
 
     nrb = -(-num_nodes // row_block)
     static_total = nrb * layout_chunk + (
@@ -466,6 +492,6 @@ def build_edge_set_dynamic_host(
         src=rsrc_p, dst=rdst_p, rel=r_rel_p, val=rval_p,
         tile_rel=r_tile_rel, num_nodes=int(num_nodes),
         num_rels=num_general, tile_size=int(tile_size),
-        num_edges=int(e_raw), layout=r_layout,
+        num_edges=es.num_edges, layout=r_layout,
     )
     return dataclasses.replace(es, layout=layout, reverse=rev)

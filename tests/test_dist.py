@@ -394,3 +394,71 @@ def test_sharded_evaluation_matches_single_device(mesh):
     )
     np.testing.assert_array_equal(ranks_s, ranks_1)
     assert mrr_s == mrr_1
+
+
+def test_sharded_lp_step_hosted_matches_single_device(mesh):
+    """The production multi-chip shape: host-built per-shard EdgeSets (with
+    Pallas layouts) + host-drawn scoring batch through
+    make_sharded_lp_step_hosted == the single-device step on the same
+    host-built inputs."""
+    from rgcn_tpu.dist.host import build_sharded_epoch_host
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.train.negative import corrupt_batch_host
+
+    rng = np.random.default_rng(27)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    bsz, num_neg, tile = 24, 3, 8
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = LinkPredictor(backend="pallas", **kwargs)
+
+    positives = triples[:bsz]
+    keep = (rng.random(bsz) < 0.7).astype(np.float32)
+    batch, labels = corrupt_batch_host(
+        np.random.default_rng(3), positives, n, num_neg, 0.5
+    )
+
+    # single-device reference on the SAME host-built graph + batch
+    es_1 = build_edge_set_dynamic_host(
+        positives, n, r, tile_size=tile, dropout_rate=0.5, keep_mask=keep,
+        with_dst_layout=True, row_block=8, layout_chunk=tile,
+    )
+    params = model_1.init(
+        {"params": jax.random.key(5)}, es_1, jnp.asarray(batch)
+    )
+    tx = make_optimizer("sgd", 0.01)
+
+    def loss_1(p):
+        scores, pen = model_1.apply(p, es_1, jnp.asarray(batch))
+        return (
+            optax.sigmoid_binary_cross_entropy(
+                scores, jnp.asarray(labels)
+            ).mean()
+            + 0.01 * pen
+        )
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    stacked = build_sharded_epoch_host(
+        positives, n, r, tile, N_DEV, dropout_rate=0.5, keep_mask=keep,
+        row_block=8, layout_chunk=tile,
+    )
+    step = make_sharded_lp_step_hosted(
+        model_s, tx, mesh, num_nodes=n, decoder_l2_weight=0.01,
+    )
+    params_s, _, loss_s = step(
+        params, tx.init(params), stacked, batch, labels, jax.random.key(8)
+    )
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
