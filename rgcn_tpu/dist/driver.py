@@ -1,0 +1,188 @@
+"""Multi-chip link-prediction training driver.
+
+The sharded twin of :func:`rgcn_tpu.train.link_prediction.train_link_predictor`:
+same loop semantics (sampled positive subgraph per epoch, BCE + decoder L2,
+periodic filtered evaluation), executed over a device mesh:
+
+* the background epoch pipeline builds per-shard EdgeSets with Pallas
+  layouts (:func:`rgcn_tpu.dist.host.build_sharded_epoch_host`) and draws
+  the negatives on the host;
+* the step is :func:`rgcn_tpu.dist.train.make_sharded_lp_step_hosted`
+  (edge-partitioned encoder over the ``edge`` axis, scoring batch over the
+  whole mesh, manual-AD collectives);
+* evaluation shards the candidate sweep
+  (:func:`rgcn_tpu.dist.evaluate.evaluate_link_predictor_sharded`).
+
+Works on 1-D edge meshes and 2-D ``(replica × edge)`` multi-host meshes
+(build the mesh with :func:`rgcn_tpu.dist.multihost.make_mesh_2d` after
+:func:`rgcn_tpu.dist.multihost.initialize_distributed`). Every process runs
+the same program on the same per-epoch RNG seeds, so host-built inputs are
+identical across processes — the jit handles cross-process arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgcn_tpu.config import LinkPredictionExperiment
+from rgcn_tpu.data.loaders import LinkPredictionData
+from rgcn_tpu.dist.host import build_sharded_epoch_host
+from rgcn_tpu.dist.mesh import EDGE_AXIS
+from rgcn_tpu.dist.train import make_sharded_lp_step_hosted
+from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.train.link_prediction import build_lp_model
+from rgcn_tpu.train.negative import corrupt_batch_host
+from rgcn_tpu.train.optim import make_optimizer
+from rgcn_tpu.train.samplers import select_sampler
+from rgcn_tpu.utils.logging import ScalarLogger
+
+__all__ = ["train_link_predictor_sharded"]
+
+
+def train_link_predictor_sharded(
+    cfg: LinkPredictionExperiment,
+    data: LinkPredictionData,
+    mesh,
+    seed: int = 0,
+    logger: Optional[ScalarLogger] = None,
+    tile_size: int = 128,
+    max_epochs: Optional[int] = None,
+    edge_axis: str = EDGE_AXIS,
+    backend: str = "pallas",
+):
+    """Train over the mesh; returns (final_mrr, hits, ranks, params)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    logger = logger or ScalarLogger()
+    enc = cfg.encoder
+    if enc.decomposition and enc.decomposition.type == "block":
+        block_size = enc.node_embedding // enc.decomposition.num_blocks
+        data.pad_nodes(block_size)
+
+    num_nodes, num_rels = data.num_nodes, data.num_relations
+    train_np = np.asarray(data.train, dtype=np.int64)
+    test_np = np.asarray(data.test, dtype=np.int64)
+
+    all_axes = tuple(mesh.axis_names)
+    edge_shards = mesh.shape[edge_axis]
+
+    model = build_lp_model(
+        cfg, num_nodes, num_rels,
+        axis_name=edge_axis, decoder_axis_name=all_axes, backend=backend,
+    )
+    init_model = build_lp_model(cfg, num_nodes, num_rels)
+
+    ed = enc.edge_dropout
+    general_dropout = ed.general if ed else 0.0
+    structural_self_keep = (
+        1.0 - ed.self_loop
+        if (
+            ed is not None
+            and ed.self_loop_type != "schlichtkrull-dropout"
+            and ed.self_loop > 0.0
+        )
+        else None
+    )
+
+    batch_size = min(
+        cfg.training.graph_batch_size or len(train_np), len(train_np)
+    )
+    ns_cfg = cfg.training.negative_sampling
+    num_neg = ns_cfg.sampling_rate if ns_cfg else 10
+    head_prob = ns_cfg.head_prob if ns_cfg else 0.5
+    sampler = select_sampler(cfg.training.sampling_method)
+
+    init_pos = jnp.asarray(train_np[:batch_size])
+    params = init_model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        build_edge_set_dynamic(init_pos, num_nodes, num_rels, tile_size=tile_size),
+        init_pos,
+    )
+    opt = cfg.training.optimiser
+    tx = make_optimizer(opt.algorithm, opt.learn_rate, opt.weight_decay)
+    opt_state = tx.init(params)
+
+    step = make_sharded_lp_step_hosted(
+        model, tx, mesh,
+        num_nodes=num_nodes,
+        structural_self_keep=structural_self_keep,
+        decoder_l2_weight=cfg.decoder.l2_penalty,
+        axis_name=edge_axis,
+    )
+
+    def sample_epoch(epoch):
+        if batch_size >= len(train_np):
+            positives = train_np
+        else:
+            positives = sampler(
+                train_np, batch_size, np.random.default_rng((seed, epoch))
+            )
+        stacked = build_sharded_epoch_host(
+            positives, num_nodes, num_rels, tile_size, edge_shards,
+            dropout_rate=general_dropout,
+            dropout_rng=np.random.default_rng((seed, epoch, 7)),
+        )
+        batch, labels = corrupt_batch_host(
+            np.random.default_rng((seed, epoch, 11)),
+            positives, num_nodes, num_neg, head_prob,
+        )
+        return stacked, batch, labels
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = {}
+
+    def get_epoch(epoch):
+        fut = pending.pop(epoch, None)
+        out = fut.result() if fut is not None else sample_epoch(epoch)
+        for e in range(epoch + 1, min(epoch + 3, epochs + 1)):
+            if e not in pending:
+                pending[e] = pool.submit(sample_epoch, e)
+        return out
+
+    epochs = max_epochs if max_epochs is not None else cfg.training.epochs
+    base_key = jax.random.key(seed + 2)
+    eval_edges = build_edge_set(
+        train_np, num_nodes, num_rels, tile_size=tile_size,
+        with_dst_layout=True,
+    )
+    from rgcn_tpu.train.evaluate import build_filters
+
+    filters = (
+        build_filters(test_np, data.all_triples, num_nodes)
+        if cfg.evaluation.filtered
+        else None
+    )
+
+    stacked, batch, labels = get_epoch(1)
+    for epoch in range(1, epochs + 1):
+        t1 = time.time()
+        sub = jax.random.fold_in(base_key, epoch)
+        params, opt_state, loss = step(
+            params, opt_state, stacked, batch, labels, sub
+        )
+        if epoch < epochs:
+            stacked, batch, labels = get_epoch(epoch + 1)
+        loss = float(loss)
+        logger.log_scalar("training.loss", loss, step=epoch)
+        logger.info(
+            f"[Epoch {epoch}] Loss: {loss:.5f} Step: {time.time() - t1:.3f}s"
+        )
+    pool.shutdown(wait=False, cancel_futures=True)
+
+    from rgcn_tpu.dist.evaluate import evaluate_link_predictor_sharded
+
+    mrr, hits, ranks = evaluate_link_predictor_sharded(
+        init_model, params, eval_edges, test_np, filters, mesh,
+        batch_size=max(cfg.evaluation.batch_size, 16), axis=edge_axis,
+    )
+    logger.info(
+        f"[Final Scores] MRR: {mrr:.4f} Hits@1: {hits[0]:.4f} "
+        f"Hits@3: {hits[1]:.4f} Hits@10: {hits[2]:.4f}"
+    )
+    return mrr, hits, ranks, params

@@ -51,7 +51,10 @@ from rgcn_tpu.utils.logging import ScalarLogger
 __all__ = ["build_lp_model", "train_link_predictor", "evaluate_link_predictor"]
 
 
-def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int, num_rels: int):
+def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int,
+                   num_rels: int, **extra):
+    """``extra`` forwards module attributes (axis_name, decoder_axis_name,
+    backend) for sharded construction (rgcn_tpu.dist.driver)."""
     enc, dec = cfg.encoder, cfg.decoder
     decomp = enc.decomposition
     ed = enc.edge_dropout
@@ -80,6 +83,7 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int, num_rels: int)
         decoder_include_gain=dec.include_gain,
         decoder_bias_init=dec.bias_init,
     )
+    common.update(extra)
     if enc.model == "rgcn":
         return LinkPredictor(**common)
     if enc.model == "c-rgcn":

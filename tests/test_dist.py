@@ -462,3 +462,31 @@ def test_sharded_lp_step_hosted_matches_single_device(mesh):
 
     np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
     tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_training_driver_runs(mesh):
+    """End-to-end multi-chip trainer (dist/driver.py) on a 2x4 mesh:
+    host epoch pipeline -> hosted sharded step -> sharded evaluation."""
+    import dataclasses
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.dist.driver import train_link_predictor_sharded
+    from rgcn_tpu.dist.multihost import make_mesh_2d
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    mesh2 = make_mesh_2d(num_replicas=2, edge_size=4)
+    cfg = load_experiment("configs/rgcn/lp-FB-toy.yaml")
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, graph_batch_size=128),
+        evaluation=dataclasses.replace(cfg.evaluation, batch_size=16),
+    )
+    data = synthetic_link_prediction(
+        num_nodes=120, num_rels=5, num_edges=600, seed=0
+    )
+    mrr, hits, ranks, params = train_link_predictor_sharded(
+        cfg, data, mesh2, logger=ScalarLogger(verbose=False),
+        max_epochs=2, tile_size=16,
+    )
+    assert np.isfinite(mrr) and len(ranks) == 2 * len(data.test)
