@@ -1,5 +1,5 @@
 # Convenience targets. See CLAUDE.md for environment notes.
-.PHONY: test native bench bench-quick smoke parity tpu-smoke clean
+.PHONY: test native bench bench-quick smoke parity tpu-smoke stress clean
 
 # Runs the 12 shipped configs against datasets under data/ and diffs the
 # metrics against BASELINE.md; configs without data are SKIPPED.
@@ -11,6 +11,11 @@ parity:
 # compile cache; run before trusting bench numbers after kernel changes.
 tpu-smoke:
 	timeout 1800 python benchmarks/tpu_smoke.py
+
+# Production-scale stress: 1M-node/10M-edge LP + AM-scale NC on the chip.
+stress:
+	timeout 4200 python benchmarks/stress_lp.py
+	timeout 4200 python benchmarks/stress_nc.py
 
 test:
 	python -m pytest tests/ -q
