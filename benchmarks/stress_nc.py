@@ -70,8 +70,11 @@ def main():
     tx = make_optimizer("adam", 0.01)
     opt_state = tx.init(params)
 
+    # pass the EdgeSet as an argument — closure constants at this scale
+    # blow past the remote-compile request limit (HTTP 413) and bloat the
+    # program on any backend
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, es):
         def loss_fn(p):
             logits = model.apply(p, es)
             return optax.softmax_cross_entropy_with_integer_labels(
@@ -86,7 +89,7 @@ def main():
     epoch_times = []
     for e in range(args.epochs):
         t1 = time.time()
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, es)
         losses.append(float(loss))  # sync
         epoch_times.append(time.time() - t1)
     train_s = time.time() - t0
