@@ -490,3 +490,47 @@ def test_sharded_training_driver_runs(mesh):
         max_epochs=2, tile_size=16,
     )
     assert np.isfinite(mrr) and len(ranks) == 2 * len(data.test)
+
+
+def test_sharded_nc_step_ergcn_pallas_matches_single_device(mesh):
+    """e-RGCN (diag first layer through the permute-free kernel +
+    embedding L2) sharded == single device."""
+    from rgcn_tpu.dist.mesh import prepare_sharded_layouts
+    from rgcn_tpu.models import EmbeddingNodeClassifier
+
+    rng = np.random.default_rng(28)
+    n, r, c = 40, 4, 3
+    triples = make_random_triples(rng, n, r, 150)
+    train_idx = jnp.asarray(rng.choice(n, 12, replace=False))
+    train_lbl = jnp.asarray(rng.integers(0, c, 12))
+
+    kwargs = dict(num_nodes=n, num_relations=r, num_classes=c, emb_dim=8)
+    model_s = EmbeddingNodeClassifier(
+        axis_name=EDGE_AXIS, backend="pallas", **kwargs
+    )
+    model_1 = EmbeddingNodeClassifier(**kwargs)
+
+    es_1 = build_edge_set(triples, n, r, tile_size=8)
+    es_s = build_edge_set(triples, n, r, tile_size=8, tile_multiple=N_DEV)
+    es_s = prepare_sharded_layouts(shard_edge_set(es_s, mesh), mesh, row_block=8)
+
+    params = model_1.init(jax.random.key(0), es_1)
+    tx = make_optimizer("sgd", 0.01)
+
+    def loss_1(p):
+        logits = model_1.apply(p, es_1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], train_lbl
+        ).mean() + 0.01 * model_1.embedding_l2(p)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    step = make_sharded_nc_step(
+        model_s, tx, mesh, train_idx, train_lbl, embedding_l2=0.01
+    )
+    params_s, _, loss_s = step(params, tx.init(params), es_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+    tree_allclose(params_s, params_ref)
