@@ -196,10 +196,34 @@ def rel_spmm_featureless_basis(
     nb, n_rows, dout = bases.shape
 
     # (nb, N, dout) -> (N, nb, dout) rows so one gather serves all bases
-    rows = jnp.swapaxes(bases, 0, 1)[edges.src]  # (E_pad, nb, dout)
-    rows = rows.reshape(n_tiles, tile, nb, dout)
+    rows_by_node = jnp.swapaxes(bases, 0, 1)
     c_t = comps[edges.tile_rel]  # (n_tiles, nb)
-    msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
+
+    # The gathered-rows intermediate is (E_pad, nb, dout) — gigabytes on
+    # many-relation/many-basis graphs (AM: ~2.3M padded edges × 40 bases →
+    # measured HBM OOM on a 16 GB chip, with AD doubling it via residuals).
+    # Above a budget, contract in tile groups under jax.checkpoint: the
+    # messages (E_pad, dout) are the only thing kept; each group's gather
+    # is recomputed in the backward.
+    _ELEM_BUDGET = 64_000_000
+
+    if n_tiles * tile * nb * dout <= _ELEM_BUDGET:
+        rows = rows_by_node[edges.src].reshape(n_tiles, tile, nb, dout)
+        msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
+    else:
+        group = max(1, _ELEM_BUDGET // (tile * nb * dout))
+        while n_tiles % group:
+            group -= 1
+        src_g = edges.src.reshape(n_tiles // group, group * tile)
+        c_g = c_t.reshape(n_tiles // group, group, nb)
+
+        @jax.checkpoint
+        def per_group(args):
+            src, c = args
+            rows = rows_by_node[src].reshape(group, tile, nb, dout)
+            return jnp.einsum("gebo,gb->geo", rows, c, precision=precision)
+
+        msgs = jax.lax.map(per_group, (src_g, c_g))
     msgs = msgs.reshape(n_tiles * tile, dout) * edges.val[:, None]
     if aggregate is not None:
         return aggregate(msgs, edges)
