@@ -76,7 +76,7 @@ def build_edge_set_dynamic(
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
     with_fused_layout: bool = False,
-    row_block: int = 256,
+    row_block: int = 128,  # swept optimum for the aggregation one-hot
 ) -> EdgeSet:
     """Turn a ``(B, 3)`` positive-triple batch into a padded :class:`EdgeSet`.
 
@@ -197,7 +197,7 @@ def build_edge_set_dynamic(
 def build_dst_layout_dynamic(
     dst: jax.Array,
     num_nodes: int,
-    row_block: int = 256,
+    row_block: int = 128,  # swept optimum: one-hot flops scale with rb
     chunk: int = 256,
 ):
     """In-jit destination-sorted aggregation layout (see

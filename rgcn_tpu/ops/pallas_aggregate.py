@@ -83,7 +83,7 @@ if "DstLayout" not in getattr(jax.tree_util, "_rgcn_registered", set()):
 def build_dst_layout(
     dst: np.ndarray,
     num_nodes: int,
-    row_block: int = 256,
+    row_block: int = 128,  # swept optimum: one-hot flops scale with rb
     chunk: int = 256,
     pad_to: Optional[int] = None,
 ) -> DstLayout:
