@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -43,6 +44,7 @@ from rgcn_tpu.ops.pallas_aggregate import DstLayout
 __all__ = [
     "weighted_aggregate_pallas",
     "rel_spmm_basis_ad",
+    "rel_spmm_basis_blocks_ad",
     "rel_spmm_featureless_basis_ad",
 ]
 
@@ -340,3 +342,116 @@ def rel_spmm_featureless_basis_ad(
             "with_dst_layout=True (layout + reverse present)"
         )
     return _fl_basis_ad_core((bases_rows, comps), edges, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Feature-block variant: gather straight from the embedding PARAMETER
+# blocks. Measured on v5e: XLA row gathers from program-input tables with
+# ≤128 columns run ~4× faster than wide-row gathers (1.7-1.9 vs 7.5
+# ns/row), and the trick does not survive in-graph slicing — so the node
+# features must be STORED as ≤128-column blocks. Elementwise activations
+# commute with row gathers (relu(E + b)[src] == relu(E[src] + b)), so the
+# encoder's input transform folds into the gathered rows and the wide
+# post-activation feature matrix is never gathered at all.
+# ---------------------------------------------------------------------------
+
+
+def _gather_blocks(blocks, bias, src_sorted, compute_dtype):
+    parts = [blk[src_sorted] for blk in blocks]  # fast ≤128-col gathers
+    xg = jnp.concatenate(parts, axis=1) + bias
+    xg = jax.nn.relu(xg)
+    if compute_dtype is not None:
+        xg = xg.astype(compute_dtype)
+    return xg
+
+
+def _blocks_fwd_impl(params, edges, compute_dtype):
+    blocks, bias, bases, comps = params
+    src_sorted, wvec = _sorted_inputs(edges, comps)
+    xg = _gather_blocks(blocks, bias, src_sorted, compute_dtype)
+    agg = weighted_aggregate_pallas(
+        xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype
+    )
+    out = jnp.einsum("bni,bio->no", agg, bases)
+    return out, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _basis_blocks_core(params, edges, compute_dtype):
+    return _blocks_fwd_impl(params, edges, compute_dtype)[0]
+
+
+def _basis_blocks_fwd(params, edges, compute_dtype):
+    out, agg = _blocks_fwd_impl(params, edges, compute_dtype)
+    return out, (params, edges, agg)
+
+
+def _basis_blocks_bwd(compute_dtype, res, g):
+    (blocks, bias, bases, comps), edges, agg = res
+    num_nodes = edges.num_nodes
+
+    dbases = jnp.einsum("bni,no->bio", agg, g).astype(bases.dtype)
+    G = jnp.einsum("no,bio->bni", g, bases)
+
+    rev = edges.reverse
+    rsrc_sorted, rwvec = _sorted_inputs(rev, comps)
+    if compute_dtype is not None:
+        G = G.astype(compute_dtype)
+    Gg = jnp.swapaxes(G, 0, 1)[rsrc_sorted]
+    dx_post = weighted_aggregate_pallas(
+        jnp.swapaxes(Gg, 0, 1), rwvec, rev.layout, num_nodes,
+        sum_bases=True, compute_dtype=compute_dtype,
+    )[0]
+
+    # chain through the fused activation: relu mask at node level
+    x_pre = jnp.concatenate(blocks, axis=1) + bias
+    mask = (x_pre > 0).astype(dx_post.dtype)
+    dpre = dx_post * mask
+    dbias = jnp.sum(dpre, axis=0, keepdims=True).astype(bias.dtype)
+    widths = [b.shape[1] for b in blocks]
+    splits = np.cumsum(widths)[:-1]
+    dblocks = tuple(
+        d.astype(b.dtype)
+        for d, b in zip(jnp.split(dpre, splits, axis=1), blocks)
+    )
+
+    # d comps in the reverse frame, reusing Gg (see _basis_ad_bwd); the
+    # x rows are regathered from the blocks (fast path) post-activation
+    rdst_s, rrel_s, rval_s = _sorted_edge_fields(rev)
+    xr = _gather_blocks(blocks, bias, rdst_s, compute_dtype)
+    t = jnp.einsum(
+        "li,lbi->lb", xr, Gg, preferred_element_type=jnp.float32
+    ) * rval_s[:, None]
+    dcomps = jax.ops.segment_sum(
+        t, rrel_s, num_segments=comps.shape[0]
+    ).astype(comps.dtype)
+
+    return (dblocks, dbias, dbases, dcomps), None
+
+
+_basis_blocks_core.defvjp(_basis_blocks_fwd, _basis_blocks_bwd)
+
+
+def rel_spmm_basis_blocks_ad(
+    edges: EdgeSet,
+    x_blocks,
+    bias: jax.Array,
+    bases: jax.Array,
+    comps: jax.Array,
+    compute_dtype=jnp.bfloat16,
+):
+    """Aggregation-first basis SpMM gathering from ≤128-column embedding
+    parameter blocks with the input activation fused (relu(E + b)[src]).
+
+    ``x_blocks``: tuple of ``(N, w_i)`` parameter arrays, Σw_i = din;
+    ``bias``: ``(1, din)``. Returns the aggregated general-relation term
+    (the caller applies the self-loop path to the full activations).
+    """
+    if edges.layout is None or edges.reverse is None:
+        raise ValueError(
+            "rel_spmm_basis_blocks_ad needs an EdgeSet built with "
+            "with_dst_layout=True (layout + reverse present)"
+        )
+    return _basis_blocks_core(
+        (tuple(x_blocks), bias, bases, comps), edges, compute_dtype
+    )

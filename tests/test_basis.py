@@ -340,3 +340,48 @@ def test_tile_gather_exact():
         np.testing.assert_array_equal(
             np.asarray(tile_gather(t, idx)), np.asarray(t[idx])
         )
+
+
+def test_basis_blocks_fused_activation_matches_oracle():
+    """Feature-block basis op (gather from parameter blocks with fused
+    relu) == relu-then-dense-SpMM oracle, for outputs and all gradients."""
+    from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_blocks_ad
+
+    rng = np.random.default_rng(17)
+    n, r, e, d0, d1, dout, nb = 60, 4, 300, 16, 8, 24, 2
+    din = d0 + d1
+    triples = make_random_triples(rng, n, r, e)
+    es = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    b0 = jnp.asarray(rng.normal(size=(n, d0)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(n, d1)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(1, din)).astype(np.float32))
+    bases = jnp.asarray(rng.normal(size=(nb, din, dout)).astype(np.float32))
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    def oracle(b0, b1, bias, bases, comps):
+        x = jax.nn.relu(jnp.concatenate([b0, b1], axis=1) + bias)
+        w = jnp.einsum("rb,bio->rio", comps, bases)
+        return rel_spmm(es, x, w)
+
+    def blocks(b0, b1, bias, bases, comps):
+        return rel_spmm_basis_blocks_ad(
+            es, (b0, b1), bias, bases, comps, compute_dtype=None
+        )
+
+    want = np.asarray(oracle(b0, b1, bias, bases, comps))
+    got = np.asarray(blocks(b0, b1, bias, bases, comps))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def loss(fn, *args):
+        return jnp.sum(jnp.sin(fn(*args)))
+
+    go = jax.grad(lambda *a: loss(oracle, *a), argnums=tuple(range(5)))(
+        b0, b1, bias, bases, comps
+    )
+    gb = jax.grad(lambda *a: loss(blocks, *a), argnums=tuple(range(5)))(
+        b0, b1, bias, bases, comps
+    )
+    for a, b in zip(gb, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
