@@ -66,6 +66,13 @@ class LinkPredictor(nn.Module):
     # 'auto' | 'pallas' | 'xla' — forwarded to every RGCNConv (see
     # RGCNConv.backend); 'pallas' requires EdgeSets carrying layouts.
     backend: str = "auto"
+    # Store node embeddings as ≤128-column parameter blocks: XLA's TPU row
+    # gather has a fast path for input-buffer tables one lane tile wide
+    # (~4× at d=200), and the input activation commutes with the gather —
+    # the first basis layer then gathers straight from the parameters
+    # (ops/pallas_basis.rel_spmm_basis_blocks_ad). Opt-in; changes the
+    # parameter tree (node_embeddings_block{i}).
+    feature_blocks: bool = False
 
     def _decoder_axes(self):
         return (
@@ -80,9 +87,23 @@ class LinkPredictor(nn.Module):
         r_aug = 2 * self.num_relations + 1
         gain = rinit.relu_gain() if self.include_gain else 1.0
         emb_init = rinit.select_weight_init(self.weight_init, gain)
-        self.node_embeddings = self.param(
-            "node_embeddings", emb_init, (self.num_nodes, self.emb_dim), jnp.float32
-        )
+        if self.feature_blocks:
+            widths = []
+            rem = self.emb_dim
+            while rem > 0:
+                widths.append(min(128, rem))
+                rem -= widths[-1]
+            self.emb_blocks = tuple(
+                self.param(
+                    f"node_embeddings_block{i}", emb_init,
+                    (self.num_nodes, w), jnp.float32,
+                )
+                for i, w in enumerate(widths)
+            )
+        else:
+            self.node_embeddings = self.param(
+                "node_embeddings", emb_init, (self.num_nodes, self.emb_dim), jnp.float32
+            )
         self.node_embeddings_bias = self.param(
             "node_embeddings_bias",
             lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype),
@@ -134,8 +155,19 @@ class LinkPredictor(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         """Node embeddings after message passing: ``(N, emb_dim)``."""
-        x = nn.relu(self.node_embeddings + self.node_embeddings_bias)
-        x = self.rgc1(edges, x, self_mask=self_mask, deterministic=deterministic)
+        if self.feature_blocks:
+            x = nn.relu(
+                jnp.concatenate(self.emb_blocks, axis=1)
+                + self.node_embeddings_bias
+            )
+            input_blocks = (self.emb_blocks, self.node_embeddings_bias)
+        else:
+            x = nn.relu(self.node_embeddings + self.node_embeddings_bias)
+            input_blocks = None
+        x = self.rgc1(
+            edges, x, self_mask=self_mask, deterministic=deterministic,
+            input_blocks=input_blocks,
+        )
         if self.num_layers == 2:
             x = nn.relu(x)
             x = self.rgc2(edges, x, self_mask=self_mask, deterministic=deterministic)

@@ -100,6 +100,7 @@ class RGCNConv(nn.Module):
         *,
         self_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        input_blocks=None,  # (param blocks, bias): fast-gather basis path
     ) -> jax.Array:
         if (x is None) != (self.in_features is None):
             raise ValueError("features must be given iff in_features is set")
@@ -195,17 +196,34 @@ class RGCNConv(nn.Module):
                 # XLA's f32 matmuls are one-pass bf16 on the MXU anyway,
                 # and the bf16 gather halves the dominant HBM traffic. The
                 # CPU/interpret path stays f32 for exactness tests.
-                from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_ad
-
                 cd = (
                     jnp.bfloat16
                     if jax.default_backend() in ("tpu", "axon")
                     else None
                 )
-                agg = rel_spmm_basis_ad(
-                    edges, self._fan(x), self._fan(bases),
-                    self._fan(comps[:-1]), compute_dtype=cd,
-                )
+                if input_blocks is not None:
+                    # gather straight from the ≤128-column embedding
+                    # parameter blocks with the input activation fused —
+                    # the fast input-buffer gather path
+                    from rgcn_tpu.ops.pallas_basis import (
+                        rel_spmm_basis_blocks_ad,
+                    )
+
+                    blocks, in_bias = input_blocks
+                    agg = rel_spmm_basis_blocks_ad(
+                        edges,
+                        tuple(self._fan(b) for b in blocks),
+                        self._fan(in_bias),
+                        self._fan(bases), self._fan(comps[:-1]),
+                        compute_dtype=cd,
+                    )
+                else:
+                    from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_ad
+
+                    agg = rel_spmm_basis_ad(
+                        edges, self._fan(x), self._fan(bases),
+                        self._fan(comps[:-1]), compute_dtype=cd,
+                    )
                 agg = self._reduce(agg)
                 self_msg = x @ jnp.einsum("b,bio->io", comps[-1], bases)
                 out = agg + self._masked_self(

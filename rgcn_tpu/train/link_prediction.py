@@ -179,6 +179,7 @@ def train_link_predictor(
     checkpoint_every: Optional[int] = None,
     pallas_train_step: Optional[bool] = None,
     host_graph_build: Optional[bool] = None,
+    feature_blocks: bool = False,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
     logger = logger or ScalarLogger()
@@ -200,7 +201,9 @@ def train_link_predictor(
     train_np = np.asarray(data.train, dtype=np.int64)
     test_np = np.asarray(data.test, dtype=np.int64)
 
-    model = build_lp_model(cfg, num_nodes, num_rels)
+    model = build_lp_model(
+        cfg, num_nodes, num_rels, feature_blocks=feature_blocks
+    )
 
     ed = enc.edge_dropout
     general_dropout = ed.general if ed else 0.0

@@ -385,3 +385,59 @@ def test_basis_blocks_fused_activation_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_lp_model_feature_blocks_matches_monolithic():
+    """LinkPredictor(feature_blocks=True) == the monolithic-embedding model
+    given equivalent parameters (blocks = column slices), outputs and
+    gradients, through the Pallas basis path."""
+    from rgcn_tpu.graph.structure import build_edge_set as _bes
+    from rgcn_tpu.models import LinkPredictor
+
+    rng = np.random.default_rng(18)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    batch = jnp.asarray(
+        np.stack([rng.integers(0, n, 80), rng.integers(0, r, 80),
+                  rng.integers(0, n, 80)], axis=1)
+    )
+    edges = _bes(triples, n, r, tile_size=16, with_dst_layout=True)
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=200, hidden1_size=200,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+    )
+    m_mono = LinkPredictor(backend="pallas", **kwargs)
+    m_blk = LinkPredictor(backend="pallas", feature_blocks=True, **kwargs)
+
+    p_mono = m_mono.init({"params": jax.random.key(4)}, edges, batch)
+    # build equivalent block params from the monolithic embedding
+    emb = p_mono["params"]["node_embeddings"]
+    p_blk = jax.tree.map(lambda x: x, p_mono)
+    inner = dict(p_blk["params"])
+    inner.pop("node_embeddings")
+    inner["node_embeddings_block0"] = emb[:, :128]
+    inner["node_embeddings_block1"] = emb[:, 128:]
+    p_blk = {"params": inner}
+
+    def loss(model, p):
+        scores, pen = model.apply(p, edges, batch)
+        return jnp.mean(jnp.tanh(scores))
+
+    l_mono, g_mono = jax.value_and_grad(lambda p: loss(m_mono, p))(p_mono)
+    l_blk, g_blk = jax.value_and_grad(lambda p: loss(m_blk, p))(p_blk)
+    np.testing.assert_allclose(float(l_blk), float(l_mono), rtol=1e-5)
+    # embedding grads: concat of block grads == monolithic grad
+    ge_mono = np.asarray(g_mono["params"]["node_embeddings"])
+    ge_blk = np.concatenate(
+        [np.asarray(g_blk["params"]["node_embeddings_block0"]),
+         np.asarray(g_blk["params"]["node_embeddings_block1"])], axis=1,
+    )
+    np.testing.assert_allclose(ge_blk, ge_mono, rtol=1e-4, atol=1e-5)
+    for name in ("rgc1", "scoring_function", "node_embeddings_bias"):
+        for a, b in zip(jax.tree.leaves(g_blk["params"][name]),
+                        jax.tree.leaves(g_mono["params"][name])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
