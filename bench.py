@@ -136,6 +136,63 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
                 + x @ w[-1].astype(compute_dtype or w.dtype)
             )
 
+    elif use_pallas == "basis-blocks":
+        import dataclasses
+
+        import jax
+
+        from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+        from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_blocks_ad
+
+        lay = build_dst_layout(np.asarray(es.dst), num_nodes,
+                               row_block=128, chunk=256)
+        rlay = build_dst_layout(np.asarray(es.reverse.dst), num_nodes,
+                                row_block=128, chunk=256)
+        es_b = dataclasses.replace(
+            es, layout=lay,
+            reverse=dataclasses.replace(es.reverse, layout=rlay),
+        )
+        nb = 2
+        rng_b = np.random.default_rng(1)
+        bases = jnp.asarray(
+            rng_b.normal(size=(nb, dim, dim)).astype(np.float32)
+        )
+        comps = jnp.asarray(
+            rng_b.normal(size=(2 * num_rels, nb)).astype(np.float32)
+        )
+        bias = jnp.zeros((1, dim), np.float32)
+        w_self = w[-1]
+
+        # The production LP encoder stores node embeddings as ≤128-column
+        # parameter blocks (feature_blocks) so edge gathers ride XLA's fast
+        # row-gather path, which requires the table to be a program INPUT
+        # buffer. Mirror that here: the blocks are the jitted step's
+        # arguments (x = first block, w = remainder), with the fused input
+        # activation included (strictly more work than the other variants,
+        # same edge count).
+        if dim <= 128:
+            def op(xb, _w):
+                agg = rel_spmm_basis_blocks_ad(
+                    es_b, (xb,), bias, bases, comps,
+                    compute_dtype=compute_dtype or jnp.float32,
+                )
+                xa = jax.nn.relu(xb + bias)
+                return agg + xa @ w_self.astype(compute_dtype or w.dtype)
+        else:
+            x, w = x[:, :128], x[:, 128:]
+
+            def op(xb0, xb1):
+                agg = rel_spmm_basis_blocks_ad(
+                    es_b, (xb0, xb1), bias, bases, comps,
+                    compute_dtype=compute_dtype or jnp.float32,
+                )
+                xa = jax.nn.relu(jnp.concatenate([xb0, xb1], axis=1) + bias)
+                out = agg + xa @ w_self.astype(compute_dtype or jnp.float32)
+                # reduce to the chained-arg shape keeping every column live
+                return out[:, :128] + out[:, 128:].sum(
+                    axis=1, keepdims=True
+                )
+
     elif use_pallas == "fused":
         import jax.numpy as jnp
 
@@ -246,7 +303,7 @@ def main():
     ap.add_argument(
         "--variant", default="auto",
         choices=("auto", "xla", "pallas", "pallas-bf16", "fused-bf16",
-                 "basis-bf16"),
+                 "basis-bf16", "basis-blocks-bf16"),
     )
     args = ap.parse_args()
 
@@ -264,7 +321,9 @@ def main():
     def run(variant):
         import jax.numpy as jnp
 
-        if variant.startswith("basis"):
+        if variant.startswith("basis-blocks"):
+            pallas = "basis-blocks"
+        elif variant.startswith("basis"):
             pallas = "basis"
         elif variant.startswith("fused"):
             pallas = "fused"
