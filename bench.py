@@ -163,13 +163,15 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         bias = jnp.zeros((1, dim), np.float32)
         w_self = w[-1]
 
-        # The production LP encoder stores node embeddings as ≤128-column
-        # parameter blocks (feature_blocks) so edge gathers ride XLA's fast
-        # row-gather path, which requires the table to be a program INPUT
-        # buffer. Mirror that here: the blocks are the jitted step's
-        # arguments (x = first block, w = remainder), with the fused input
-        # activation included (strictly more work than the other variants,
-        # same edge count).
+        # Probe variant: node embeddings as ≤128-column parameter blocks
+        # (feature_blocks), gathered as the jitted step's INPUT buffers
+        # (x = first block, w = remainder) with the input activation fused.
+        # MEASURED 2026-08-17 at WN18 scale: ~2x SLOWER than the monolithic
+        # basis op (edge stage 2.90 vs 1.38 ms) — the isolated ≤128-column
+        # input-buffer gather fast path does NOT transfer to this composite
+        # op (two block gathers + activation vs one wide gather). Kept
+        # measurable so the comparison stays reproducible; NOT in the auto
+        # ladder.
         if dim <= 128:
             def op(xb, _w):
                 agg = rel_spmm_basis_blocks_ad(

@@ -100,7 +100,7 @@ class RGCNConv(nn.Module):
         *,
         self_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
-        input_blocks=None,  # (param blocks, bias): fast-gather basis path
+        input_blocks=None,  # (param blocks, bias): block-gather basis path
     ) -> jax.Array:
         if (x is None) != (self.in_features is None):
             raise ValueError("features must be given iff in_features is set")
@@ -203,8 +203,9 @@ class RGCNConv(nn.Module):
                 )
                 if input_blocks is not None:
                     # gather straight from the ≤128-column embedding
-                    # parameter blocks with the input activation fused —
-                    # the fast input-buffer gather path
+                    # parameter blocks with the input activation fused
+                    # (measured ~2× slower than monolithic at WN18 scale
+                    # — see ops/pallas_basis.py; supported, not default)
                     from rgcn_tpu.ops.pallas_basis import (
                         rel_spmm_basis_blocks_ad,
                     )

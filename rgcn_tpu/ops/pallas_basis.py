@@ -346,13 +346,20 @@ def rel_spmm_featureless_basis_ad(
 
 # ---------------------------------------------------------------------------
 # Feature-block variant: gather straight from the embedding PARAMETER
-# blocks. Measured on v5e: XLA row gathers from program-input tables with
-# ≤128 columns run ~4× faster than wide-row gathers (1.7-1.9 vs 7.5
-# ns/row), and the trick does not survive in-graph slicing — so the node
-# features must be STORED as ≤128-column blocks. Elementwise activations
-# commute with row gathers (relu(E + b)[src] == relu(E[src] + b)), so the
-# encoder's input transform folds into the gathered rows and the wide
-# post-activation feature matrix is never gathered at all.
+# blocks. Motivation: in ISOLATION, XLA row gathers from program-input
+# tables with ≤128 columns run ~4× faster on v5e than wide-row gathers
+# (1.7-1.9 vs 7.5 ns/row), and the trick does not survive in-graph
+# slicing — so the node features must be STORED as ≤128-column blocks.
+# Elementwise activations commute with row gathers
+# (relu(E + b)[src] == relu(E[src] + b)), so the encoder's input transform
+# folds into the gathered rows and the wide post-activation feature matrix
+# is never gathered at all.
+#
+# MEASURED END-TO-END (2026-08-17, WN18 scale, blocks as true jit input
+# buffers — ``bench.py --variant basis-blocks-bf16``): ~2× SLOWER than the
+# monolithic op (edge stage 2.90 vs 1.38 ms). The isolated fast path does
+# not survive composition with the Pallas aggregation consumer. Kept as a
+# supported, exactness-tested model option; NOT a perf default.
 # ---------------------------------------------------------------------------
 
 
