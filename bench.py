@@ -167,9 +167,10 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         # (feature_blocks), gathered as the jitted step's INPUT buffers
         # (x = first block, w = remainder) with the input activation fused.
         # MEASURED 2026-08-17 at WN18 scale: ~2x SLOWER than the monolithic
-        # basis op (edge stage 2.90 vs 1.38 ms) — the isolated ≤128-column
-        # input-buffer gather fast path does NOT transfer to this composite
-        # op (two block gathers + activation vs one wide gather). Kept
+        # basis op (edge stage 2.90 vs 1.38 ms); long-chain probes later
+        # showed the motivating ≤128-column gather "fast path" itself was a
+        # timing artifact — narrow gathers are SLOWER per row (see
+        # rgcn_tpu/ops/gather.py, benchmarks/probe_gather2.py). Kept
         # measurable so the comparison stays reproducible; NOT in the auto
         # ladder.
         if dim <= 128:

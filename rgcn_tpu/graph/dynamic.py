@@ -199,6 +199,7 @@ def build_dst_layout_dynamic(
     num_nodes: int,
     row_block: int = 128,  # swept optimum: one-hot flops scale with rb
     chunk: int = 256,
+    src: Optional[jax.Array] = None,
 ):
     """In-jit destination-sorted aggregation layout (see
     :class:`rgcn_tpu.ops.pallas_aggregate.DstLayout` for semantics).
@@ -206,6 +207,13 @@ def build_dst_layout_dynamic(
     ``dst`` is the padded per-edge destination array of an :class:`EdgeSet`
     (pads carry ``dst == num_nodes``). All output shapes depend only on
     ``len(dst)``, ``num_nodes``, ``row_block`` and ``chunk``.
+
+    ``src``: optional per-edge sources. When given (and the composite sort
+    key fits int32), edges are ordered by source within each destination
+    row block — the split-gather fast-path prerequisite, mirroring the
+    host builder (:func:`rgcn_tpu.ops.pallas_aggregate.build_dst_layout`).
+    Larger graphs silently keep the plain destination order (correct
+    either way; the one-hot accepts any within-block order).
     """
     from rgcn_tpu.ops.pallas_aggregate import DstLayout
 
@@ -215,7 +223,18 @@ def build_dst_layout_dynamic(
     total = num_row_blocks * chunk + ((e_pad + chunk - 1) // chunk) * chunk
     n_chunks = total // chunk
 
-    order = jnp.argsort(dst)  # pads (== num_nodes) sort last
+    if src is not None and (num_row_blocks + 1) * (num_nodes + 1) < 2**31:
+        # (row block, source) composite int32 key; pads (dst == num_nodes)
+        # get block id num_row_blocks so they still sort strictly last
+        blk = jnp.where(
+            dst >= num_nodes, num_row_blocks, dst // row_block
+        ).astype(jnp.int32)
+        key = blk * jnp.int32(num_nodes + 1) + jnp.where(
+            dst >= num_nodes, num_nodes, src
+        ).astype(jnp.int32)
+        order = jnp.argsort(key)
+    else:
+        order = jnp.argsort(dst)  # pads (== num_nodes) sort last
     dst_sorted = dst[order]
     real = dst_sorted < num_nodes
     block_of = jnp.minimum(dst_sorted // row_block, num_row_blocks - 1)

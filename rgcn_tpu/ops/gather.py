@@ -1,14 +1,25 @@
-"""Lane-tile-aware row gather.
+"""Lane-tile-aware row gather (kept as a measured-and-closed probe site).
 
-XLA's TPU row gather has a fast path when the gathered row fits one
-128-lane tile and falls off a cliff beyond it (measured on v5e at 255k
-rows: d=128 → 0.2 ns/row, d=200/256 → ~8 ns/row — 40×). Splitting a wide
-gather into per-≤128-column gathers recovers the fast path at the cost of
-slicing the table (a cheap O(N·d) pass, or free when the caller keeps the
-table pre-split).
+History (v5e, tunneled backend): early microbenchmarks suggested XLA's TPU
+row gather had a fast path for ≤128-column tables entering the program as
+input buffers (0.2-1.7 ns/row vs ~7.5 for wider rows). Under sound timing
+(long async chains — ``benchmarks/probe_gather2.py``; short 12-iter chains
+on this backend can return differences dominated by ~23 ms fetch-RPC
+jitter, including NEGATIVE times) the fast path does NOT exist:
 
-``tile_gather(table, idx)`` is the drop-in: identical result to
-``table[idx]``, implemented as per-tile gathers + concat for wide rows.
+* d=200 f32 monolithic gather, 367k rows: **3.52 ns/row**
+* the same rows from a (N, 128) bf16 table: **6.17 ns/row** — narrower is
+  *slower*, not faster
+* two ≤128-column gathers covering the same 200 columns: ~12% faster than
+  the single wide gather in isolation, but *slower* once composed with the
+  Pallas aggregation consumer (probe_gather3), with or without
+  source-sorted layouts or optimization barriers.
+
+Conclusion: the gather is row-overhead-bound at ~3.5 ns/row (~114 GB/s
+effective on 400-byte rows) regardless of width/dtype, and splitting wide
+rows buys nothing end-to-end. ``tile_gather`` therefore intentionally
+degenerates to ``table[idx]``; it remains the single call site to revisit
+if a future backend changes the economics.
 """
 
 from __future__ import annotations
@@ -22,26 +33,13 @@ LANE_TILE = 128
 
 
 def tile_gather(table: jax.Array, idx: jax.Array, tile: int = LANE_TILE):
-    """``table[idx]`` (gather along axis 0) via lane-tile-sized gathers.
-
-    ``table``: ``(N, d)`` or ``(N, ..., d)`` — trailing dims are flattened
-    for the split and restored afterwards.
-    """
+    """``table[idx]`` (gather along axis 0); see module docstring for why
+    no width-splitting is performed."""
+    del tile
     if table.ndim == 2:
-        d = table.shape[1]
-        if d <= tile:
-            return table[idx]
-        # Wide rows currently stay on the plain gather. Measured facts
-        # (v5e, 255k rows): gathers from ≤128-column tables that enter the
-        # program as INPUT buffers run at ~1.7 ns/row vs ~7.5 for wide
-        # rows (4.5×) — but the trick does NOT survive in-graph
-        # materialization: slicing inside the program (with or without an
-        # optimization_barrier) keeps or worsens the slow path (~7.5-10
-        # ns/row), so only gathers whose tables cross a jit boundary can
-        # exploit it today (round-3: layout-pinned intermediates).
         return table[idx]
     lead = table.shape[0]
     rest = table.shape[1:]
     flat = table.reshape(lead, -1)
-    out = tile_gather(flat, idx, tile)
+    out = flat[idx]
     return out.reshape((idx.shape[0],) + rest)

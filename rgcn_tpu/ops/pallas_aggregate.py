@@ -86,6 +86,8 @@ def build_dst_layout(
     row_block: int = 128,  # swept optimum: one-hot flops scale with rb
     chunk: int = 256,
     pad_to: Optional[int] = None,
+    src: Optional[np.ndarray] = None,
+    prefer_native: bool = True,
 ) -> DstLayout:
     """Host-side layout construction for a static graph.
 
@@ -96,17 +98,44 @@ def build_dst_layout(
     compiles once (the static bound is
     ``num_row_blocks * chunk + ceil(len(dst) / chunk) * chunk``, the same
     as :func:`rgcn_tpu.graph.dynamic.build_dst_layout_dynamic`).
+
+    ``src``: optional per-edge source array. When given, edges are ordered
+    by source WITHIN each destination row block (the kernel's one-hot
+    accepts any within-block order) so the consumer's source-row gather
+    sees piecewise-ascending indices. Probe facility only — measured
+    performance-neutral for the gather and NOT used by production paths
+    (``benchmarks/probe_gather2.py``).
+
+    Dispatches to the native counting-sort builder
+    (``native/layout_builder.cc``, bit-identical) when the shared library
+    is built; pass ``prefer_native=False`` to force NumPy.
     """
+    if src is None and prefer_native:
+        from rgcn_tpu.graph.native import build_dst_layout_native
+
+        out = build_dst_layout_native(
+            np.asarray(dst), num_nodes, row_block, chunk, pad_to
+        )
+        if out is not None:
+            return out
     dst = np.asarray(dst)
     e = dst.shape[0]
     num_row_blocks = -(-num_nodes // row_block)
 
-    # Sort edges by destination; drop pad edges (dst == num_nodes) — their
-    # val is 0 anyway, but excluding them shrinks the layout.
-    order = np.argsort(dst, kind="stable")
-    dst_sorted = dst[order]
-    real = dst_sorted < num_nodes
-    order, dst_sorted = order[real], dst_sorted[real]
+    # Sort edges by destination row block (secondarily by source when
+    # given); drop pad edges (dst == num_nodes) — their val is 0 anyway,
+    # but excluding them shrinks the layout.
+    if src is not None:
+        src = np.asarray(src)
+        keep = np.nonzero(dst < num_nodes)[0]
+        blk = dst[keep] // row_block
+        order = keep[np.lexsort((src[keep], blk))]
+        dst_sorted = dst[order]
+    else:
+        order = np.argsort(dst, kind="stable")
+        dst_sorted = dst[order]
+        real = dst_sorted < num_nodes
+        order, dst_sorted = order[real], dst_sorted[real]
 
     block_of = dst_sorted // row_block
     counts = np.bincount(block_of, minlength=num_row_blocks)
