@@ -94,6 +94,20 @@ def main():
 
     fl = build_fused_layout(es, row_block=512, chunk=512, quantum=32)
 
+    from rgcn_tpu.ops.pallas_basis import (
+        _sorted_inputs,
+        weighted_aggregate_pallas,
+    )
+
+    def _basis_agg(x, out_dtype):
+        src_sorted, wvec = _sorted_inputs(es128, comps)
+        xg = x.astype(jnp.bfloat16)[src_sorted]
+        agg = weighted_aggregate_pallas(
+            xg, wvec, es128.layout, es128.num_nodes,
+            compute_dtype=jnp.bfloat16, out_dtype=out_dtype,
+        )
+        return jnp.einsum("bni,bio->no", agg, bases.astype(jnp.bfloat16))
+
     variants = {
         "dense-xla": lambda x, w: rel_spmm(es, x, w[:-1]) + x @ w[-1],
         "dense-pallas-v1": lambda x, w: (
@@ -111,11 +125,23 @@ def main():
                               compute_dtype=jnp.bfloat16)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
+        # ablation: the f32 aggregate (production materializes it bf16 —
+        # measured 1.43 vs 1.38 ms; the in-kernel basis-matmul fold
+        # measured 1.55 ms and was removed)
+        "basis-bf16-aggf32": lambda x, w: (
+            _basis_agg(x, jnp.float32) + x @ w[-1].astype(jnp.bfloat16)
+        ),
         "basis-f32": lambda x, w: (
             rel_spmm_basis_ad(es128, x, bases, comps, compute_dtype=None)
             + x @ w[-1]
         ),
         "diag": lambda x, w: rel_spmm_diag_ad(es128, x, dw[:-1]) + x * dw[-1],
+        # bf16 messages (the layer's on-TPU default): halves the dominant
+        # (L, d) message materialization
+        "diag-bf16": lambda x, w: (
+            rel_spmm_diag_ad(es128, x, dw[:-1], compute_dtype=jnp.bfloat16)
+            + x * dw[-1]
+        ),
         "block": lambda x, w: (
             rel_spmm_block(es, x, blocks, aggregate=aggregate_messages_ad)
             + x @ w[-1]

@@ -122,11 +122,19 @@ class RGCNConv(nn.Module):
                 "weights", w_init, (r_aug, din), self.param_dtype
             )
             if self._use_pallas(edges) and edges.reverse is not None:
-                # permute-free sorted-order messages (ops/pallas_diag.py)
+                # permute-free sorted-order messages (ops/pallas_diag.py);
+                # bf16 messages on real TPUs (f32 accumulation in the
+                # aggregation kernel) — halves the dominant HBM traffic
                 from rgcn_tpu.ops.pallas_diag import rel_spmm_diag_ad
 
+                cd = (
+                    jnp.bfloat16
+                    if jax.default_backend() in ("tpu", "axon")
+                    else None
+                )
                 agg = rel_spmm_diag_ad(
-                    edges, self._fan(x), self._fan(weights[:-1])
+                    edges, self._fan(x), self._fan(weights[:-1]),
+                    compute_dtype=cd,
                 )
             else:
                 agg = spmm_ops.rel_spmm_diag(

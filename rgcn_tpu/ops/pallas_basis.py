@@ -57,12 +57,17 @@ def weighted_aggregate_pallas(
     *,
     sum_bases: bool = False,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    out_dtype: jnp.dtype = jnp.float32,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """``Agg[b, s] = Σ_{slot: dst=s} weights[b, slot] · xg_sorted[(b,) slot]``.
 
     Returns ``(nb, num_nodes, din)``, or ``(1, num_nodes, din)`` summed over
     ``b`` when ``sum_bases`` (the backward direction).
+
+    ``out_dtype=bfloat16`` halves the aggregate's HBM write and the
+    consumer's read; chunk partials still accumulate in f32 (a VMEM
+    scratch), cast only on the closing chunk of each row block.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -80,6 +85,8 @@ def weighted_aggregate_pallas(
     xg = xg_sorted.reshape(nx, n_chunks, ch, din)
     w = weights.reshape(nb, n_chunks, 1, ch).transpose(1, 2, 0, 3)
     local = jnp.asarray(layout.local_dst).reshape(n_chunks, 1, ch)
+
+    f32_out = jnp.dtype(out_dtype) == jnp.dtype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # chunk_block
@@ -101,42 +108,57 @@ def weighted_aggregate_pallas(
             (n_out, rb, din), lambda c, cb: (0, cb[c], 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=(
+            [] if f32_out else [pltpu.VMEM((n_out, rb, din), jnp.float32)]
+        ),
     )
 
     # kernel sees: local (1,1,ch), w (1,1,nb,ch)->[0,b]=w[0,0,b], xg (nx,1,ch,din)
-    def kernel(cb_ref, local_ref, w_ref, xg_ref, out_ref):
+    def kernel(cb_ref, local_ref, w_ref, xg_ref, out_ref, acc=None):
         c = pl.program_id(0)
+        tgt = out_ref if f32_out else acc
 
         @pl.when(
             jnp.logical_or(c == 0, cb_ref[c] != cb_ref[jnp.maximum(c - 1, 0)])
         )
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            tgt[:] = jnp.zeros_like(tgt)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (rb, ch), 0)
         onehot = (rows == local_ref[0, 0][None, :]).astype(xg_ref.dtype)
         for b in range(nb):
             scaled = onehot * w_ref[0, 0, b][None, :].astype(xg_ref.dtype)
             xgb = xg_ref[0 if shared_x else b, 0]
-            part = jnp.dot(
-                scaled, xgb, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+            part = jnp.dot(scaled, xgb, preferred_element_type=jnp.float32)
             if sum_bases:
-                out_ref[0] += part
+                tgt[0] += part
             else:
-                out_ref[b] += part
+                tgt[b] += part
+
+        if not f32_out:
+            # narrow on the row block's closing chunk only
+            n = pl.num_programs(0)
+
+            @pl.when(
+                jnp.logical_or(
+                    c == n - 1, cb_ref[jnp.minimum(c + 1, n - 1)] != cb_ref[c]
+                )
+            )
+            def _():
+                out_ref[:] = acc[:].astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_out, layout.num_row_blocks * rb, din), jnp.float32
+            (n_out, layout.num_row_blocks * rb, din), out_dtype
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * n_chunks * rb * ch * din,
             bytes_accessed=(
                 nx * xg_sorted.size // nx * xg_sorted.dtype.itemsize
-                + n_out * layout.num_row_blocks * rb * din * 4
+                + n_out * layout.num_row_blocks * rb * din
+                * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),
@@ -178,11 +200,17 @@ def _basis_fwd_impl(x, params, edges, compute_dtype):
     bases, comps = params
     src_sorted, wvec = _sorted_inputs(edges, comps)
     # cast BEFORE the gather: casting (N, din) once instead of (L, din)
-    # after — the gather output feeds the kernel directly, no extra pass
+    # after — the gather output feeds the kernel directly, no extra pass.
+    # The aggregate materializes in the compute dtype (f32 scratch
+    # accumulation in-kernel): measured 1.38 vs 1.43 ms for the f32
+    # aggregate at WN18 scale. Folding the basis matmul into the kernel
+    # instead (no aggregate in HBM at all) measured WORSE — 1.55 ms, the
+    # block-closing matmul breaks the chunk pipeline — and was removed.
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
     xg = xc[src_sorted]  # (L, din) — the one gather
     agg = weighted_aggregate_pallas(
-        xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype
+        xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype,
+        out_dtype=(compute_dtype or jnp.float32),
     )  # (nb, N, din)
     out = jnp.einsum("bni,bio->no", agg, bases)
     return out, agg
@@ -218,6 +246,7 @@ def _basis_ad_bwd(compute_dtype, res, g):
     dx = weighted_aggregate_pallas(
         jnp.swapaxes(Gg, 0, 1), rwvec, rev.layout, num_nodes,
         sum_bases=True, compute_dtype=compute_dtype,
+        out_dtype=(compute_dtype or jnp.float32),
     )[0]
 
     # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>, computed in
@@ -346,19 +375,17 @@ def rel_spmm_featureless_basis_ad(
 
 # ---------------------------------------------------------------------------
 # Feature-block variant: gather straight from the embedding PARAMETER
-# blocks. Motivation: in ISOLATION, XLA row gathers from program-input
-# tables with ≤128 columns run ~4× faster on v5e than wide-row gathers
-# (1.7-1.9 vs 7.5 ns/row), and the trick does not survive in-graph
-# slicing — so the node features must be STORED as ≤128-column blocks.
-# Elementwise activations commute with row gathers
-# (relu(E + b)[src] == relu(E[src] + b)), so the encoder's input transform
-# folds into the gathered rows and the wide post-activation feature matrix
-# is never gathered at all.
+# blocks, with the input activation fused into the gathered rows
+# (relu(E + b)[src] == relu(E[src] + b) — elementwise ops commute with row
+# gathers).
 #
-# MEASURED END-TO-END (2026-08-17, WN18 scale, blocks as true jit input
-# buffers — ``bench.py --variant basis-blocks-bf16``): ~2× SLOWER than the
-# monolithic op (edge stage 2.90 vs 1.38 ms). The isolated fast path does
-# not survive composition with the Pallas aggregation consumer. Kept as a
+# MEASUREMENT HISTORY (v5e, WN18 scale): this path was motivated by an
+# apparent ≤128-column input-buffer gather fast path, which long-chain
+# timing later DISPROVED — a (N, 128) gather measures ~6.2 ns/row vs
+# ~3.5 for the monolithic d=200 gather (benchmarks/probe_gather2.py), and
+# every split composition (with/without concat, with/without source-sorted
+# layouts or barriers) measures at or below the monolithic op
+# (probe_gather3: e-split 1.43-1.48 ms vs e-mono 1.33-1.38 ms). Kept as a
 # supported, exactness-tested model option; NOT a perf default.
 # ---------------------------------------------------------------------------
 

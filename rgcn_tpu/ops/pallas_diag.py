@@ -17,6 +17,8 @@ Backward: aggregation and the diagonal product are linear —
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -53,31 +55,40 @@ def _lookup_rows(table, idx):
     return table[idx]
 
 
-def _diag_sorted_agg(x, dw, edges):
+def _diag_sorted_agg(x, dw, edges, compute_dtype):
     src_s, rel_s, val_s = _slot_arrays(edges)
+    # cast the (N, d) operands BEFORE the gather/lookup: the (L, d)
+    # message tensor then materializes at half width — the dominant HBM
+    # traffic of this op after the (latency-bound) gather itself
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        dw = dw.astype(compute_dtype)
+        val_s = val_s.astype(compute_dtype)
     msgs = x[src_s] * _lookup_rows(dw, rel_s) * val_s[:, None]
     return aggregate_presorted_pallas(msgs, edges.layout, edges.num_nodes)
 
 
-@jax.custom_vjp
-def _diag_ad_core(x, dw, edges):
-    return _diag_sorted_agg(x, dw, edges)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _diag_ad_core(x, dw, edges, compute_dtype):
+    return _diag_sorted_agg(x, dw, edges, compute_dtype)
 
 
-def _diag_ad_fwd(x, dw, edges):
-    return _diag_ad_core(x, dw, edges), (x, dw, edges)
+def _diag_ad_fwd(x, dw, edges, compute_dtype):
+    return _diag_ad_core(x, dw, edges, compute_dtype), (x, dw, edges)
 
 
-def _diag_ad_bwd(res, g):
+def _diag_ad_bwd(compute_dtype, res, g):
     x, dw, edges = res
     g = g.astype(x.dtype)
 
-    dx = _diag_sorted_agg(g, dw, edges.reverse).astype(x.dtype)
+    dx = _diag_sorted_agg(g, dw, edges.reverse, compute_dtype).astype(x.dtype)
 
-    t = x[edges.src] * (g[jnp.clip(edges.dst, 0, edges.num_nodes - 1)]
-                        * edges.val[:, None])
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    gc = g.astype(compute_dtype) if compute_dtype is not None else g
+    t = xc[edges.src] * (gc[jnp.clip(edges.dst, 0, edges.num_nodes - 1)]
+                         * edges.val[:, None].astype(xc.dtype))
     ddw = jax.ops.segment_sum(
-        t, edges.rel, num_segments=dw.shape[0]
+        t.astype(jnp.float32), edges.rel, num_segments=dw.shape[0]
     ).astype(dw.dtype)
     return dx, ddw, None
 
@@ -85,7 +96,12 @@ def _diag_ad_bwd(res, g):
 _diag_ad_core.defvjp(_diag_ad_fwd, _diag_ad_bwd)
 
 
-def rel_spmm_diag_ad(edges: EdgeSet, x: jax.Array, diag_weights: jax.Array):
+def rel_spmm_diag_ad(
+    edges: EdgeSet,
+    x: jax.Array,
+    diag_weights: jax.Array,
+    compute_dtype=None,
+):
     """Differentiable permute-free diagonal relational SpMM.
 
     Requires ``edges.layout`` and ``edges.reverse``
@@ -96,4 +112,4 @@ def rel_spmm_diag_ad(edges: EdgeSet, x: jax.Array, diag_weights: jax.Array):
             "rel_spmm_diag_ad needs an EdgeSet built with "
             "with_dst_layout=True (layout + reverse present)"
         )
-    return _diag_ad_core(x, diag_weights, edges)
+    return _diag_ad_core(x, diag_weights, edges, compute_dtype)

@@ -31,6 +31,47 @@ def test_basis_forward_matches_dense_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_weighted_aggregate_bf16_out_matches_f32():
+    """out_dtype=bfloat16 accumulates chunk partials in an f32 VMEM scratch
+    and narrows only on each row block's closing chunk — results must match
+    the f32 aggregate to bf16 rounding (NOT bf16-accumulation error)."""
+    from rgcn_tpu.ops.pallas_basis import (
+        _sorted_inputs,
+        weighted_aggregate_pallas,
+    )
+
+    es, x, bases, comps = _setup(seed=11)
+    src_sorted, wvec = _sorted_inputs(es, comps)
+    xg = x[src_sorted]
+    f32 = np.asarray(
+        weighted_aggregate_pallas(
+            xg, wvec, es.layout, es.num_nodes, compute_dtype=None
+        )
+    )
+    bf16 = np.asarray(
+        weighted_aggregate_pallas(
+            xg, wvec, es.layout, es.num_nodes, compute_dtype=None,
+            out_dtype=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    # single-rounding tolerance: bf16 has an 8-bit mantissa
+    np.testing.assert_allclose(bf16, f32, rtol=8e-3, atol=8e-3)
+    # and the summed-over-bases (backward) mode
+    f32s = np.asarray(
+        weighted_aggregate_pallas(
+            xg, wvec, es.layout, es.num_nodes, compute_dtype=None,
+            sum_bases=True,
+        )
+    )
+    bf16s = np.asarray(
+        weighted_aggregate_pallas(
+            xg, wvec, es.layout, es.num_nodes, compute_dtype=None,
+            sum_bases=True, out_dtype=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(bf16s, f32s, rtol=8e-3, atol=8e-3)
+
+
 def test_basis_gradients_match_dense_oracle():
     es, x, bases, comps = _setup()
 
