@@ -15,7 +15,11 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_available", "build_edge_set_native"]
+__all__ = [
+    "native_available",
+    "build_edge_set_native",
+    "build_dst_layout_native",
+]
 
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -47,12 +51,82 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),  # tile_rel_out
         ctypes.c_int64,  # capacity
     ]
+    if hasattr(lib, "rgcn_build_dst_layout"):
+        lib.rgcn_build_dst_layout.restype = ctypes.c_int64
+        lib.rgcn_build_dst_layout.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # dst
+            ctypes.c_int64,  # e
+            ctypes.c_int64,  # num_nodes
+            ctypes.c_int64,  # row_block
+            ctypes.c_int64,  # chunk
+            ctypes.c_int64,  # pad_to (<=0: none)
+            ctypes.POINTER(ctypes.c_int32),  # perm_out
+            ctypes.POINTER(ctypes.c_int32),  # local_out
+            ctypes.POINTER(ctypes.c_int32),  # chunk_block_out
+            ctypes.c_int64,  # capacity
+        ]
     _lib = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def build_dst_layout_native(
+    dst: np.ndarray,
+    num_nodes: int,
+    row_block: int,
+    chunk: int,
+    pad_to: Optional[int] = None,
+):
+    """Native :func:`rgcn_tpu.ops.pallas_aggregate.build_dst_layout`
+    (stable counting sort by destination, O(E + N) instead of the NumPy
+    argsort's O(E log E)). Returns ``None`` when the shared library is
+    absent or lacks the symbol (callers fall back to NumPy); raises on
+    contract violations so failures stay loud."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rgcn_build_dst_layout"):
+        return None
+
+    from rgcn_tpu.ops.pallas_aggregate import DstLayout
+
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    e = dst.shape[0]
+    nrb = -(-num_nodes // row_block)
+    # upper bound: every block padded one chunk past its real edges
+    cap = max(nrb * chunk + ((e + chunk - 1) // chunk + nrb) * chunk, chunk)
+    if pad_to is not None:
+        cap = max(cap, int(pad_to))
+    perm = np.empty(cap, dtype=np.int32)
+    local = np.empty(cap, dtype=np.int32)
+    chunk_block = np.empty(cap // chunk + 1, dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    total = lib.rgcn_build_dst_layout(
+        ptr(dst), e, num_nodes, row_block, chunk,
+        0 if pad_to is None else int(pad_to),
+        ptr(perm), ptr(local), ptr(chunk_block), cap,
+    )
+    if total == -2:
+        raise ValueError(
+            f"pad_to={pad_to} < layout total or not a multiple of "
+            f"chunk {chunk}"
+        )
+    if total < 0:
+        raise RuntimeError("native layout builder: capacity underestimated")
+    total = int(total)
+    n_chunks = total // chunk
+    return DstLayout(
+        perm=perm[:total].copy(),
+        local_dst=local[:total].copy().reshape(n_chunks, chunk),
+        chunk_block=chunk_block[:n_chunks].copy(),
+        num_row_blocks=int(nrb),
+        row_block=int(row_block),
+        chunk=int(chunk),
+    )
 
 
 def build_edge_set_native(

@@ -28,6 +28,45 @@ def test_native_matches_numpy(tile_size):
     assert a.num_edges == b.num_edges
 
 
+def test_native_dst_layout_bit_identical():
+    """The counting-sort layout builder (native/layout_builder.cc) must
+    reproduce build_dst_layout exactly — perm ordering included (stable
+    counting sort == np.argsort(dst, kind='stable'))."""
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    rng = np.random.default_rng(41)
+    for _ in range(25):
+        n = int(rng.integers(5, 2500))
+        e = int(rng.integers(0, 6000))
+        rb = int(rng.choice([8, 64, 128, 256]))
+        ch = int(rng.choice([16, 128, 256]))
+        dst = rng.integers(0, n + 1, e).astype(np.int32)  # incl. pads == n
+        base = build_dst_layout(dst, n, rb, ch, prefer_native=False)
+        nat = build_dst_layout(dst, n, rb, ch, prefer_native=True)
+        pad_to = base.perm.shape[0] + int(rng.integers(0, 4)) * ch
+        base_p = build_dst_layout(
+            dst, n, rb, ch, pad_to=pad_to, prefer_native=False
+        )
+        nat_p = build_dst_layout(
+            dst, n, rb, ch, pad_to=pad_to, prefer_native=True
+        )
+        for a, b in ((base, nat), (base_p, nat_p)):
+            np.testing.assert_array_equal(a.perm, b.perm)
+            np.testing.assert_array_equal(a.local_dst, b.local_dst)
+            np.testing.assert_array_equal(a.chunk_block, b.chunk_block)
+            assert (a.num_row_blocks, a.row_block, a.chunk) == (
+                b.num_row_blocks, b.row_block, b.chunk
+            )
+
+
+def test_native_dst_layout_rejects_bad_pad_to():
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    dst = np.arange(100, dtype=np.int32) % 50
+    with pytest.raises(ValueError):
+        build_dst_layout(dst, 50, 8, 16, pad_to=17, prefer_native=True)
+
+
 def test_native_large_graph_speed():
     """Sanity: native path handles a million-edge graph and agrees."""
     rng = np.random.default_rng(71)
