@@ -98,4 +98,33 @@ int64_t rgcn_build_dst_layout(const int32_t* dst, int64_t e,
   return total;
 }
 
+// Stable (relation, receiver) ordering: order_out = np.lexsort((dst, rel))
+// — primary key rel, secondary dst, ties in original order. Two-pass LSD
+// counting sort, O(E + bins) instead of the NumPy lexsort's O(E log E)
+// (measured 8.1 -> ~1 ms at WN18 epoch-subgraph scale). Values must lie in
+// [0, num_*_bins); returns -1 otherwise (caller falls back to NumPy).
+int64_t rgcn_lexsort_rel_dst(const int32_t* rel, const int32_t* dst,
+                             int64_t e, int64_t num_rel_bins,
+                             int64_t num_dst_bins, int32_t* order_out) {
+  for (int64_t i = 0; i < e; ++i) {
+    if (rel[i] < 0 || rel[i] >= num_rel_bins || dst[i] < 0 ||
+        dst[i] >= num_dst_bins)
+      return -1;
+  }
+  // pass 1: stable counting sort by the secondary key (dst)
+  std::vector<int64_t> off1(num_dst_bins + 1, 0);
+  for (int64_t i = 0; i < e; ++i) ++off1[dst[i] + 1];
+  for (int64_t v = 1; v <= num_dst_bins; ++v) off1[v] += off1[v - 1];
+  std::vector<int32_t> tmp(e);
+  for (int64_t i = 0; i < e; ++i)
+    tmp[off1[dst[i]]++] = static_cast<int32_t>(i);
+  // pass 2: stable counting sort by the primary key (rel)
+  std::vector<int64_t> off2(num_rel_bins + 1, 0);
+  for (int64_t i = 0; i < e; ++i) ++off2[rel[i] + 1];
+  for (int64_t v = 1; v <= num_rel_bins; ++v) off2[v] += off2[v - 1];
+  for (int64_t i = 0; i < e; ++i)
+    order_out[off2[rel[tmp[i]]]++] = tmp[i];
+  return 0;
+}
+
 }  // extern "C"

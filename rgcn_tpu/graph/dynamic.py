@@ -338,6 +338,20 @@ def self_loop_keep_mask(
     )
 
 
+def _host_lexsort_rel_dst(rel, dst, num_general: int, num_nodes: int):
+    """``np.lexsort((dst, rel))`` with the native counting-sort fast path
+    (bit-identical; see ``native/layout_builder.cc``). ``dst`` may contain
+    the pad value ``num_nodes``."""
+    import numpy as np
+
+    from rgcn_tpu.graph.native import lexsort_rel_dst
+
+    order = lexsort_rel_dst(rel, dst, num_general, num_nodes + 1)
+    if order is not None:
+        return order
+    return np.lexsort((dst, rel))
+
+
 def build_edge_set_dynamic_host(
     positives: "np.ndarray",
     num_nodes: int,
@@ -367,8 +381,6 @@ def build_edge_set_dynamic_host(
     """
     import numpy as np
 
-    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
-
     positives = np.asarray(positives)
     bsz = positives.shape[0]
     num_general = 2 * num_rels
@@ -394,7 +406,7 @@ def build_edge_set_dynamic_host(
         keep = np.ones(bsz, dtype=np.float32)
     mask = np.concatenate([keep, keep])
 
-    order = np.lexsort((dst, rel))
+    order = _host_lexsort_rel_dst(rel, dst, num_general, num_nodes)
     src, dst, rel, mask = src[order], dst[order], rel[order], mask[order]
 
     key = rel.astype(np.int64) * (num_nodes + 1) + dst
@@ -474,7 +486,7 @@ def attach_host_layouts(
     # reverse: swap src/dst, KEEP values, re-tile by (relation, receiver) —
     # mirrors _reverse_edge_set_dynamic (pads ride along with val == 0)
     r_dst, r_src = src_p, dst_p
-    r_order = np.lexsort((r_dst, rel_p))
+    r_order = _host_lexsort_rel_dst(rel_p, r_dst, num_general, num_nodes)
     r_src_s, r_dst_s = r_src[r_order], r_dst[r_order]
     r_rel_s, r_val_s = rel_p[r_order], val_p[r_order]
 

@@ -19,6 +19,7 @@ __all__ = [
     "native_available",
     "build_edge_set_native",
     "build_dst_layout_native",
+    "lexsort_rel_dst",
 ]
 
 _LIB_PATH = os.path.join(
@@ -65,12 +66,52 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # chunk_block_out
             ctypes.c_int64,  # capacity
         ]
+    if hasattr(lib, "rgcn_lexsort_rel_dst"):
+        lib.rgcn_lexsort_rel_dst.restype = ctypes.c_int64
+        lib.rgcn_lexsort_rel_dst.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # rel
+            ctypes.POINTER(ctypes.c_int32),  # dst
+            ctypes.c_int64,  # e
+            ctypes.c_int64,  # num_rel_bins
+            ctypes.c_int64,  # num_dst_bins
+            ctypes.POINTER(ctypes.c_int32),  # order_out
+        ]
     _lib = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def lexsort_rel_dst(
+    rel: np.ndarray,
+    dst: np.ndarray,
+    num_rel_bins: int,
+    num_dst_bins: int,
+) -> Optional[np.ndarray]:
+    """``np.lexsort((dst, rel))`` via the native two-pass counting sort
+    (bit-identical, incl. stability). Returns ``None`` when the library is
+    absent or values fall outside the declared bins — callers fall back to
+    NumPy."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rgcn_lexsort_rel_dst"):
+        return None
+    rel = np.ascontiguousarray(rel, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    e = rel.shape[0]
+    order = np.empty(e, dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = lib.rgcn_lexsort_rel_dst(
+        ptr(rel), ptr(dst), e, int(num_rel_bins), int(num_dst_bins),
+        ptr(order),
+    )
+    if rc != 0:
+        return None
+    return order
 
 
 def build_dst_layout_native(

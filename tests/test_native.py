@@ -59,6 +59,27 @@ def test_native_dst_layout_bit_identical():
             )
 
 
+def test_native_lexsort_rel_dst_bit_identical():
+    """The two-pass counting sort must equal np.lexsort((dst, rel)) exactly,
+    stability included (ties keep original order)."""
+    from rgcn_tpu.graph.native import lexsort_rel_dst
+
+    rng = np.random.default_rng(43)
+    for _ in range(25):
+        e = int(rng.integers(0, 5000))
+        nr = int(rng.integers(1, 40))
+        nd = int(rng.integers(1, 3000))
+        rel = rng.integers(0, nr, e).astype(np.int32)
+        dst = rng.integers(0, nd, e).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.lexsort((dst, rel)), lexsort_rel_dst(rel, dst, nr, nd)
+        )
+    # out-of-range values -> None (caller falls back to NumPy)
+    assert lexsort_rel_dst(
+        np.array([5], np.int32), np.array([0], np.int32), 3, 10
+    ) is None
+
+
 def test_native_dst_layout_rejects_bad_pad_to():
     from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
 
