@@ -8,7 +8,13 @@ the replica axis across processes — exactly how a 2-host TPU pod job lays
 out (see :mod:`rgcn_tpu.dist.multihost`). The parent spawns both workers
 and checks they agree on a finite loss.
 
-Usage:  python benchmarks/multiprocess_dryrun.py            # parent
+``--full`` runs the COMPLETE multi-host training driver instead of a single
+step: :func:`rgcn_tpu.dist.driver.train_link_predictor_sharded` — host
+epoch pipeline, hosted Pallas-layout sharded steps, and the sharded
+filtered evaluation — for several epochs across both processes, asserting
+every process reports identical losses and final MRR.
+
+Usage:  python benchmarks/multiprocess_dryrun.py [--full]   # parent
         (workers are spawned automatically)
 """
 
@@ -23,7 +29,7 @@ NPROC = 2
 DEV_PER_PROC = 4
 
 
-def worker(pid: int) -> None:
+def worker(pid: int, full: bool = False) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
@@ -38,6 +44,9 @@ def worker(pid: int) -> None:
     )
     assert jax.process_count() == NPROC
     assert len(jax.devices()) == NPROC * DEV_PER_PROC
+
+    if full:
+        return full_driver_worker(pid)
 
     import numpy as np
     import jax.numpy as jnp
@@ -94,14 +103,66 @@ def worker(pid: int) -> None:
     print(f"[proc {pid}] sharded multi-process step OK, loss={loss:.6f}", flush=True)
 
 
+def full_driver_worker(pid: int) -> None:
+    """The COMPLETE multi-host training driver on a 2-process 2-D mesh:
+    every process runs the identical program (same seeds), the replica axis
+    spans the processes, and losses/eval metrics come back replicated."""
+    import dataclasses
+
+    import numpy as np
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.dist.driver import train_link_predictor_sharded
+    from rgcn_tpu.dist.multihost import REPLICA_AXIS, make_mesh_2d
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    mesh = make_mesh_2d()  # replica = process axis, edge = local devices
+    assert mesh.shape[REPLICA_AXIS] == NPROC
+
+    cfg = load_experiment("configs/rgcn/lp-FB-toy.yaml")
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, graph_batch_size=128),
+        evaluation=dataclasses.replace(cfg.evaluation, batch_size=16),
+    )
+    data = synthetic_link_prediction(
+        num_nodes=120, num_rels=5, num_edges=600, seed=0
+    )
+
+    class Collect(ScalarLogger):
+        def __init__(self):
+            super().__init__(verbose=False)
+            self.losses = []
+
+        def log_scalar(self, name, value, step=None):
+            super().log_scalar(name, value, step=step)
+            if name == "training.loss":
+                self.losses.append(value)
+
+    logger = Collect()
+    mrr, hits, ranks, params = train_link_predictor_sharded(
+        cfg, data, mesh, logger=logger, max_epochs=3, tile_size=16,
+    )
+    assert np.isfinite(mrr) and len(ranks) == 2 * len(data.test)
+    losses = ",".join(f"{l:.6f}" for l in logger.losses)
+    print(
+        f"[proc {pid}] full multi-process driver OK, "
+        f"losses=[{losses}] mrr={mrr:.6f}",
+        flush=True,
+    )
+
+
 def main() -> int:
+    full = "--full" in sys.argv
     if "--worker" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]), full=full)
         return 0
 
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i)]
+            + (["--full"] if full else []),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -121,14 +182,20 @@ def main() -> int:
         outs.append(out)
         if p.returncode != 0:
             code = 1
+    marker = (
+        "full multi-process driver OK" if full
+        else "sharded multi-process step OK"
+    )
     losses = []
     for i, out in enumerate(outs):
         for line in out.splitlines():
-            if "sharded multi-process step OK" in line:
-                losses.append(line.split("loss=")[1])
+            if marker in line:
+                # everything after the marker (losses=... / loss=...) must
+                # agree bit-for-bit across processes
+                losses.append(line.split(marker)[1])
                 print(line)
     if code == 0 and len(losses) == NPROC and len(set(losses)) == 1:
-        print(f"multiprocess_dryrun: {NPROC} processes agreed, loss={losses[0]}")
+        print(f"multiprocess_dryrun: {NPROC} processes agreed:{losses[0]}")
         return 0
     print("multiprocess_dryrun FAILED")
     for i, out in enumerate(outs):
