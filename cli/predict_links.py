@@ -35,8 +35,23 @@ def main():
                     help="save/resume params+optimizer state here")
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="save cadence in epochs (default: eval check_every)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-process job (jax.distributed; "
+                         "coordinator/process from JAX_COORDINATOR_ADDRESS/"
+                         "JAX_NUM_PROCESSES/JAX_PROCESS_ID or pod metadata)")
+    ap.add_argument("--mesh", default=None, metavar="RxE",
+                    help="train sharded over a (replica x edge) device mesh,"
+                         " e.g. 1x8 or 2x4; 'auto' = one replica per process")
+    ap.add_argument("--virtual-devices", type=int, default=None,
+                    help="force N virtual host devices (CPU validation of "
+                         "the sharded path without TPU hardware)")
     args = ap.parse_args()
 
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        )
     if args.cpu:
         import jax
 
@@ -53,7 +68,6 @@ def main():
     from rgcn_tpu.train.link_prediction import train_link_predictor
     from rgcn_tpu.utils.logging import ScalarLogger
 
-    import os
     if not os.path.isfile(args.config):
         ap.error(f"config file not found: {args.config}")
     cfg = load_experiment(args.config)
@@ -89,6 +103,42 @@ def main():
 
     logger = ScalarLogger(run_dir=args.run_dir, name="link_pred")
     from rgcn_tpu.utils.profiling import trace
+
+    if args.distributed or args.mesh:
+        # multi-chip / multi-host path: sharded driver over a 2-D mesh
+        # (rgcn_tpu.dist) — the reference has no distribution story at all
+        # (/root/reference/experiments/classify_nodes.py:46-47)
+        if args.checkpoint_dir:
+            ap.error("--checkpoint-dir is not supported with --mesh/"
+                     "--distributed yet; drop it or train single-device")
+        from rgcn_tpu.dist.driver import train_link_predictor_sharded
+        from rgcn_tpu.dist.multihost import (
+            initialize_distributed,
+            make_mesh_2d,
+        )
+
+        if args.distributed:
+            initialize_distributed()
+        if args.mesh and args.mesh != "auto":
+            try:
+                reps, edges = (int(v) for v in args.mesh.lower().split("x"))
+            except ValueError:
+                ap.error(f"--mesh must look like 2x4, got {args.mesh!r}")
+            mesh = make_mesh_2d(num_replicas=reps, edge_size=edges)
+        else:
+            mesh = make_mesh_2d()
+        import jax
+
+        print(
+            f"[mesh] {dict(mesh.shape)} over {len(jax.devices())} devices, "
+            f"{getattr(jax, 'process_count', lambda: 1)()} process(es)"
+        )
+        with trace(args.profile_dir, enabled=args.profile_dir is not None):
+            train_link_predictor_sharded(
+                cfg, data, mesh, logger=logger, tile_size=args.tile_size,
+                max_epochs=args.epochs,
+            )
+        return
 
     with trace(args.profile_dir, enabled=args.profile_dir is not None):
         train_link_predictor(
