@@ -37,14 +37,22 @@ import time
 import numpy as np
 
 
-def build_workload(quick: bool = False):
+def build_workload(quick: bool = False, reciprocity: float = 0.9):
     from rgcn_tpu.data.synthetic import synthetic_kg
 
     if quick:
         num_nodes, num_rels, num_edges, dim = 2_000, 18, 8_000, 64
     else:
         num_nodes, num_rels, num_edges, dim = 40_943, 18, 146_500, 200
-    triples = synthetic_kg(num_nodes, num_rels, num_edges, seed=0)
+    # reciprocity=0.9 models real WN18's inverse-pair structure (~94% of
+    # its triples have reciprocal counterparts — Toutanova & Chen 2015,
+    # Dettmers et al. 2018; see rgcn_tpu/data/synthetic.py). The coalesced
+    # basis path merges the duplicate (subject, object) pairs that
+    # inverse augmentation then creates; --reciprocity 0 benches the
+    # structure-free worst case.
+    triples = synthetic_kg(
+        num_nodes, num_rels, num_edges, seed=0, reciprocity=reciprocity
+    )
     return triples, num_nodes, num_rels, dim
 
 
@@ -104,7 +112,47 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         rng.normal(size=(2 * num_rels + 1, dim, dim)).astype(dtype)
     )
 
-    if use_pallas == "basis":
+    if use_pallas == "basis-merged":
+        import sys
+
+        from rgcn_tpu.graph.coalesce import build_merged_layout
+        from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_merged_ad
+
+        merged = build_merged_layout(
+            np.asarray(es.dst), np.asarray(es.src), np.asarray(es.rel),
+            np.asarray(es.val), num_nodes, es.num_rels,
+            row_block=128, chunk=256,
+        )
+        print(
+            f"bench coalescing: {merged.num_edges} edges -> "
+            f"{merged.num_pairs} pairs; layout slots "
+            f"{merged.layout.perm.shape[0]} (unmerged would be ~{es.num_edges})",
+            file=sys.stderr,
+        )
+        nb = 2  # the reference WN18 config (configs/rgcn/lp-WN18.yaml)
+        rng_b = np.random.default_rng(1)
+        bases = jnp.asarray(
+            rng_b.normal(size=(nb, dim, dim)).astype(np.float32)
+        )
+        comps = jnp.asarray(
+            rng_b.normal(size=(2 * num_rels, nb)).astype(np.float32)
+        )
+        import jax as _jax
+
+        # the coeff matrix is ~19 MB — must travel as a jit ARGUMENT, not
+        # a closure constant (remote-compile request size limit)
+        merged_dev = _jax.tree.map(jnp.asarray, merged)
+        w = (w, merged_dev)
+
+        def op(x, w):
+            w_arr, m = w
+            return (
+                rel_spmm_basis_merged_ad(m, x, bases, comps,
+                                         compute_dtype=compute_dtype)
+                + x @ w_arr[-1].astype(compute_dtype or w_arr.dtype)
+            )
+
+    elif use_pallas == "basis":
         import dataclasses
 
         from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
@@ -306,7 +354,12 @@ def main():
     ap.add_argument(
         "--variant", default="auto",
         choices=("auto", "xla", "pallas", "pallas-bf16", "fused-bf16",
-                 "basis-bf16", "basis-blocks-bf16"),
+                 "basis-bf16", "basis-merged-bf16", "basis-blocks-bf16"),
+    )
+    ap.add_argument(
+        "--reciprocity", type=float, default=0.9,
+        help="fraction of workload triples with reciprocal counterparts "
+             "(0.9 models real WN18; 0 = structure-free worst case)",
     )
     args = ap.parse_args()
 
@@ -319,13 +372,17 @@ def main():
 
         _enable_cache()
 
-    triples, num_nodes, num_rels, dim = build_workload(args.quick)
+    triples, num_nodes, num_rels, dim = build_workload(
+        args.quick, reciprocity=args.reciprocity
+    )
 
     def run(variant):
         import jax.numpy as jnp
 
         if variant.startswith("basis-blocks"):
             pallas = "basis-blocks"
+        elif variant.startswith("basis-merged"):
+            pallas = "basis-merged"
         elif variant.startswith("basis"):
             pallas = "basis"
         elif variant.startswith("fused"):
@@ -354,7 +411,8 @@ def main():
             # a broken fused kernel must not silently report the slower
             # variant's number as the headline.
             last_exc = None
-            for variant in ("basis-bf16", "fused-bf16", "pallas-bf16", "xla"):
+            for variant in ("basis-merged-bf16", "basis-bf16", "fused-bf16",
+                            "pallas-bf16", "xla"):
                 try:
                     eps, dt, edges_aug = run(variant)
                     print(f"bench variant: {variant}", file=sys.stderr)
@@ -378,9 +436,15 @@ def main():
         # repeated driver runs pay once.
         import os
 
+        # key the cache on the workload (reciprocity changes the graph)
+        rec_tag = (
+            "" if args.reciprocity == 0.0
+            else f"_rec{args.reciprocity:g}".replace(".", "p")
+        )
         cache_file = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f".bench_baseline_basis{'_quick' if args.quick else ''}.json",
+            f".bench_baseline_basis{rec_tag}"
+            f"{'_quick' if args.quick else ''}.json",
         )
         ref_eps = None
         if os.path.exists(cache_file):

@@ -38,12 +38,25 @@ def synthetic_kg(
     seed: int = 0,
     zipf_nodes: float = 1.1,
     zipf_rels: float = 1.2,
+    reciprocity: float = 0.0,
 ) -> np.ndarray:
     """Random KG with Zipf-skewed node degrees and relation frequencies.
 
     Real knowledge graphs have heavy-tailed degree and relation
     distributions; uniform sampling would understate gather/scatter
     irregularity and overstate kernel throughput.
+
+    ``reciprocity``: fraction of triples whose reciprocal counterpart
+    ``(o, partner(p), s)`` is also present, with relations organized as
+    inverse pairs ``(2k, 2k+1)``. Real KGs store both directions of their
+    hierarchy relations — WN18 famously so (hyponym/hypernym,
+    meronym/holonym, symmetric ``_similar_to``/``_verb_group``; ~94% of
+    its test triples have the inverse in train — Toutanova & Chen 2015,
+    Dettmers et al. 2018). Reciprocity controls how many duplicate
+    ``(subject, object)`` pairs inverse augmentation creates, which the
+    coalesced basis path (:mod:`rgcn_tpu.graph.coalesce`) exploits; 0
+    keeps the structure-free generator (the worst case for coalescing).
+    The returned triple count stays ~``num_edges``.
     """
     rng = np.random.default_rng(seed)
 
@@ -53,10 +66,21 @@ def synthetic_kg(
         perm = rng.permutation(n)  # decouple id order from popularity
         return perm[rng.choice(n, size=size, p=w)]
 
-    s = zipf_choice(num_nodes, num_edges, zipf_nodes)
-    o = zipf_choice(num_nodes, num_edges, zipf_nodes)
-    p = zipf_choice(num_rels, num_edges, zipf_rels)
+    n_base = int(round(num_edges / (1.0 + max(reciprocity, 0.0))))
+    s = zipf_choice(num_nodes, n_base, zipf_nodes)
+    o = zipf_choice(num_nodes, n_base, zipf_nodes)
+    p = zipf_choice(num_rels, n_base, zipf_rels)
     triples = np.stack([s, p, o], axis=1).astype(np.int64)
+    if reciprocity > 0.0:
+        flip = rng.random(n_base) < reciprocity
+        partner = triples[flip][:, [2, 1, 0]].copy()
+        # inverse-pair the relation vocabulary: 2k <-> 2k+1 (an odd
+        # trailing relation pairs with itself, i.e. is symmetric)
+        pr = partner[:, 1]
+        partner[:, 1] = np.where(
+            (pr ^ 1) < num_rels, pr ^ 1, pr
+        )
+        triples = np.concatenate([triples, partner], axis=0)
     triples = np.unique(triples, axis=0)
     rng.shuffle(triples)
     return triples
@@ -140,8 +164,11 @@ def synthetic_link_prediction(
     num_edges: int = 2000,
     test_frac: float = 0.1,
     seed: int = 0,
+    reciprocity: float = 0.0,
 ) -> LinkPredictionData:
-    triples = synthetic_kg(num_nodes, num_rels, num_edges, seed=seed)
+    triples = synthetic_kg(
+        num_nodes, num_rels, num_edges, seed=seed, reciprocity=reciprocity
+    )
     n_test = max(1, int(len(triples) * test_frac))
     test, train = triples[:n_test], triples[n_test:]
     all_triples: Set[Tuple[int, int, int]] = {
@@ -160,11 +187,15 @@ def synthetic_link_prediction(
     )
 
 
-def wn18_like(seed: int = 0) -> LinkPredictionData:
-    """WN18-scale graph: 40,943 entities, 18 relations, ~141k train triples."""
+def wn18_like(seed: int = 0, reciprocity: float = 0.9) -> LinkPredictionData:
+    """WN18-scale graph: 40,943 entities, 18 relations, ~141k train triples.
+
+    ``reciprocity=0.9`` models WN18's documented inverse-pair structure
+    (see :func:`synthetic_kg`); pass 0 for the structure-free variant.
+    """
     return synthetic_link_prediction(
         num_nodes=40_943, num_rels=18, num_edges=146_500, test_frac=0.034,
-        seed=seed,
+        seed=seed, reciprocity=reciprocity,
     )
 
 

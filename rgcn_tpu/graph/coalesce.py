@@ -1,0 +1,223 @@
+"""Edge coalescing: merge parallel edges for basis-decomposed SpMM.
+
+In basis decomposition the per-edge aggregation weight is a *scalar* per
+basis, ``w_be = val_e * comps[rel_e, b]`` (see
+:mod:`rgcn_tpu.ops.pallas_basis`), and aggregation is linear — so edges
+that connect the SAME ``(receiver, source)`` node pair under different
+relations can be merged into one layout slot whose weight is the sum of
+the member edges' weights:
+
+    Agg_b[d] = sum_e val_e * comps[rel_e, b] * x[src_e]
+             = sum_{pairs (d, s)} ( sum_{e on pair} val_e * comps[rel_e, b] ) * x[s]
+
+This matters because real knowledge graphs are heavily *reciprocal*: WN18
+famously stores both directions of its hierarchy relations (hyponym /
+hypernym, meronym / holonym, ...) and has symmetric relations
+(``_similar_to``, ``_verb_group``, ...) — ~94% of WN18 test triples have
+their inverse in train (Toutanova & Chen 2015; Dettmers et al. 2018,
+"Convolutional 2D Knowledge Graph Embeddings"). After the framework's own
+inverse augmentation (``graph/augment.py``, mirroring the reference's
+``add_inverse_and_self`` at ``/root/reference/utils/utils.py:127-141``),
+each reciprocal triple pair produces the same ``(dst, src)`` pair TWICE
+(once forward, once as the partner's inverse), so pair merging shrinks the
+edge stage — whose cost is the per-slot source-row gather, the measured
+single-chip wall (STATUS.md) — by ~1.8x on WN18-shaped graphs. On graphs
+without parallel edges merging is an exact no-op (slot count unchanged).
+
+The merged weights must stay differentiable w.r.t. ``comps``. Rather than
+an in-jit segment-sum over member edges (a scatter — the op class the
+Pallas layouts exist to avoid), the merge is represented as a STATIC
+per-slot relation-coefficient matrix
+
+    coeff[l, r] = sum_{e on pair(l), rel_e = r} val_e        # (L, R') host-built
+
+so that in-jit ``wvec = (coeff @ comps).T`` is one small MXU matmul and the
+backward contraction ``dcomps = coeff^T @ t`` replaces the unmerged path's
+``segment_sum`` by relation. The dense ``(L, R')`` matrix is viable for
+modest relation vocabularies only; :func:`build_merged_layout` refuses when
+``R'`` exceeds ``max_rels`` (WN18: R' = 36).
+
+Exactness: merging only reassociates a sum of identical-shape terms; all
+merged-vs-unmerged tests assert allclose at f32 (``tests/test_coalesce.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from rgcn_tpu.ops.pallas_aggregate import DstLayout, build_dst_layout
+
+try:
+    import jax
+
+    _HAVE_JAX = True
+except Exception:  # pragma: no cover
+    _HAVE_JAX = False
+
+__all__ = ["MergedPairLayout", "build_merged_layout"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MergedPairLayout:
+    """Coalesced ``(receiver, source)`` pair layout for the basis kernel.
+
+    Forward frame (receiver = destination):
+
+    * ``layout`` — :class:`DstLayout` over the unique pairs.
+    * ``src_sorted (L,)`` — per-slot source node (pads -> 0, coeff row 0).
+    * ``coeff (L, R')`` — per-slot relation coefficients (see module doc).
+
+    Reverse frame (receiver = source; used by the VJP):
+
+    * ``rev_layout`` / ``rev_src_sorted`` — same pairs with the roles
+      swapped: the reverse slot's *source* is the forward pair's receiver
+      (the rows gathered there are the output cotangent rows).
+    * ``rev_receiver (L',)`` — the reverse slot's receiver == the forward
+      pair's source; the ``dcomps`` contraction gathers ``x`` there so the
+      cotangent-row gather is shared with the ``dx`` aggregation.
+    * ``rev_coeff (L', R')`` — the same pair coefficients in reverse-slot
+      order.
+    """
+
+    layout: DstLayout
+    src_sorted: np.ndarray  # (L,) int32
+    coeff: np.ndarray  # (L, R') float32
+    rev_layout: DstLayout
+    rev_src_sorted: np.ndarray  # (L',) int32
+    rev_receiver: np.ndarray  # (L',) int32
+    rev_coeff: np.ndarray  # (L', R') float32
+    num_nodes: int
+    num_rels: int  # R' (general relations, inverses included)
+    num_pairs: int  # unique real (dst, src) pairs
+    num_edges: int  # real member edges merged into the pairs
+
+
+if _HAVE_JAX:
+
+    def _mpl_flatten(m: MergedPairLayout):
+        children = (
+            m.layout, m.src_sorted, m.coeff,
+            m.rev_layout, m.rev_src_sorted, m.rev_receiver, m.rev_coeff,
+        )
+        aux = (m.num_nodes, m.num_rels, m.num_pairs, m.num_edges)
+        return children, aux
+
+    def _mpl_unflatten(aux, children):
+        (layout, src_sorted, coeff,
+         rev_layout, rev_src_sorted, rev_receiver, rev_coeff) = children
+        num_nodes, num_rels, num_pairs, num_edges = aux
+        return MergedPairLayout(
+            layout, src_sorted, coeff,
+            rev_layout, rev_src_sorted, rev_receiver, rev_coeff,
+            num_nodes, num_rels, num_pairs, num_edges,
+        )
+
+    jax.tree_util.register_pytree_node(
+        MergedPairLayout, _mpl_flatten, _mpl_unflatten
+    )
+
+
+def _pair_frame(
+    recv: np.ndarray,
+    source: np.ndarray,
+    pair_coeff: np.ndarray,
+    num_nodes: int,
+    row_block: int,
+    chunk: int,
+    pad_to: Optional[int],
+):
+    """Build one frame's (DstLayout over pairs, per-slot source, per-slot
+    coeff) given per-pair receiver/source/coefficients."""
+    layout = build_dst_layout(
+        recv, num_nodes, row_block=row_block, chunk=chunk, pad_to=pad_to
+    )
+    n_pairs = recv.shape[0]
+    src_z = np.concatenate([source, np.zeros((1,), np.int32)])
+    coeff_z = np.concatenate(
+        [pair_coeff, np.zeros((1, pair_coeff.shape[1]), np.float32)], axis=0
+    )
+    perm = layout.perm  # pads -> n_pairs (one-past-end -> zero row)
+    return layout, src_z[perm].astype(np.int32), coeff_z[perm]
+
+
+def build_merged_layout(
+    dst: np.ndarray,
+    src: np.ndarray,
+    rel: np.ndarray,
+    val: np.ndarray,
+    num_nodes: int,
+    num_rels: int,
+    *,
+    row_block: int = 128,
+    chunk: int = 256,
+    max_rels: int = 128,
+    pad_to: Optional[int] = None,
+    rev_pad_to: Optional[int] = None,
+) -> MergedPairLayout:
+    """Coalesce augmented edges into a :class:`MergedPairLayout`.
+
+    Inputs are per-edge arrays of the *augmented* general-relation graph
+    (inverses included, self-loops excluded — exactly an
+    :class:`~rgcn_tpu.graph.structure.EdgeSet`'s fields, padded or not:
+    entries with ``dst >= num_nodes`` or ``val == 0`` are ignored).
+
+    ``num_rels`` is the general-relation vocabulary size R'. Refuses when
+    ``R' > max_rels`` (the dense coefficient matrix would not be worth its
+    HBM traffic); callers fall back to the unmerged path.
+
+    ``pad_to`` / ``rev_pad_to`` pad the two frames' slot counts so
+    host-built per-epoch layouts stay shape-stable across recompiles (same
+    contract as :func:`~rgcn_tpu.ops.pallas_aggregate.build_dst_layout`).
+    """
+    if num_rels > max_rels:
+        raise ValueError(
+            f"merged layout needs num_rels <= {max_rels} (got {num_rels}); "
+            "use the unmerged basis path"
+        )
+    dst = np.asarray(dst)
+    src = np.asarray(src)
+    rel = np.asarray(rel)
+    val = np.asarray(val, dtype=np.float32)
+
+    real = (dst < num_nodes) & (val != 0.0)
+    d, s, r, v = dst[real], src[real], rel[real], val[real]
+
+    key = d.astype(np.int64) * num_nodes + s.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    n_pairs = uniq.shape[0]
+    pair_d = (uniq // num_nodes).astype(np.int32)
+    pair_s = (uniq % num_nodes).astype(np.int32)
+
+    coeff = np.zeros((n_pairs, num_rels), dtype=np.float32)
+    np.add.at(coeff, (inv, r), v)
+
+    layout, src_sorted, coeff_sorted = _pair_frame(
+        pair_d, pair_s, coeff, num_nodes, row_block, chunk, pad_to
+    )
+
+    # Reverse frame: receiver = forward source. Same pairs, same
+    # coefficients, re-sorted by the swapped receiver.
+    rev_layout, rev_src_sorted, rev_coeff_sorted = _pair_frame(
+        pair_s, pair_d, coeff, num_nodes, row_block, chunk, rev_pad_to
+    )
+    # The reverse slot's receiver (the forward source), for the shared
+    # dcomps x-gather; pads -> 0 (their coeff row is 0).
+    recv_z = np.concatenate([pair_s, np.zeros((1,), np.int32)])
+    rev_receiver = recv_z[rev_layout.perm].astype(np.int32)
+
+    return MergedPairLayout(
+        layout=layout,
+        src_sorted=src_sorted,
+        coeff=coeff_sorted,
+        rev_layout=rev_layout,
+        rev_src_sorted=rev_src_sorted,
+        rev_receiver=rev_receiver,
+        rev_coeff=rev_coeff_sorted,
+        num_nodes=int(num_nodes),
+        num_rels=int(num_rels),
+        num_pairs=int(n_pairs),
+        num_edges=int(d.shape[0]),
+    )

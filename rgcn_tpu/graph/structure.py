@@ -84,6 +84,10 @@ class EdgeSet:
     # Optional single-pass fused-kernel layout
     # (rgcn_tpu.ops.pallas_fused.FusedLayout); host-built graphs only.
     fused: Optional[object] = None
+    # Optional coalesced-pair layout (rgcn_tpu.graph.coalesce
+    # .MergedPairLayout): parallel edges merged for the basis kernel —
+    # the basis ops prefer it when present.
+    merged: Optional[object] = None
 
     @property
     def num_tiles(self) -> int:
@@ -104,16 +108,16 @@ if _HAVE_JAX:
 
     def _edgeset_flatten(es: EdgeSet):
         children = (es.src, es.dst, es.rel, es.val, es.tile_rel, es.layout,
-                    es.reverse, es.fused)
+                    es.reverse, es.fused, es.merged)
         aux = (es.num_nodes, es.num_rels, es.tile_size, es.num_edges)
         return children, aux
 
     def _edgeset_unflatten(aux, children):
-        src, dst, rel, val, tile_rel, layout, reverse, fused = children
+        src, dst, rel, val, tile_rel, layout, reverse, fused, merged = children
         num_nodes, num_rels, tile_size, num_edges = aux
         return EdgeSet(src, dst, rel, val, tile_rel,
                        num_nodes, num_rels, tile_size, num_edges, layout,
-                       reverse, fused)
+                       reverse, fused, merged)
 
     jax.tree_util.register_pytree_node(
         EdgeSet, _edgeset_flatten, _edgeset_unflatten

@@ -44,6 +44,7 @@ from rgcn_tpu.ops.pallas_aggregate import DstLayout
 __all__ = [
     "weighted_aggregate_pallas",
     "rel_spmm_basis_ad",
+    "rel_spmm_basis_merged_ad",
     "rel_spmm_basis_blocks_ad",
     "rel_spmm_featureless_basis_ad",
 ]
@@ -277,14 +278,112 @@ def rel_spmm_basis_ad(edges: EdgeSet, x: jax.Array, bases, comps,
 
     ``bases (nb, din, dout)`` / ``comps (num_rels, nb)`` cover general
     relations only — the self-loop term is the caller's. ``edges`` must
-    carry ``layout`` and ``reverse`` (``with_dst_layout=True``).
+    carry ``layout`` and ``reverse`` (``with_dst_layout=True``). When the
+    EdgeSet carries a coalesced-pair layout (``edges.merged``), the merged
+    path is used — fewer gather slots, identical math.
     """
+    if getattr(edges, "merged", None) is not None:
+        return _basis_merged_core(
+            x, (bases, comps), edges.merged, compute_dtype
+        )
     if edges.layout is None or edges.reverse is None:
         raise ValueError(
             "rel_spmm_basis_ad needs an EdgeSet built with "
             "with_dst_layout=True (layout + reverse present)"
         )
     return _basis_ad_core(x, (bases, comps), edges, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Coalesced-pair variant: parallel edges (same (dst, src) pair, different
+# relations) merged into single layout slots — the basis weights are scalar
+# per slot, so merging just sums them (see rgcn_tpu/graph/coalesce.py; real
+# WN18's reciprocal structure makes this ~1.8x fewer slots). The per-slot
+# weights stay differentiable w.r.t. comps through the static coefficient
+# matrix: wvec = (coeff @ comps)^T, dcomps = coeff^T @ t — small MXU
+# matmuls instead of the unmerged path's per-edge gather + segment_sum.
+# ---------------------------------------------------------------------------
+
+
+def _merged_wvec(coeff, comps):
+    """(nb, L) per-slot basis weights from the static (L, R') coefficients."""
+    return jnp.einsum(
+        "lr,rb->bl", jnp.asarray(coeff), comps,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _basis_merged_fwd_impl(x, params, merged, compute_dtype):
+    bases, comps = params
+    wvec = _merged_wvec(merged.coeff, comps)
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xg = xc[jnp.asarray(merged.src_sorted)]  # (L, din) — the one gather
+    agg = weighted_aggregate_pallas(
+        xg, wvec, merged.layout, merged.num_nodes,
+        compute_dtype=compute_dtype,
+        out_dtype=(compute_dtype or jnp.float32),
+    )  # (nb, N, din)
+    out = jnp.einsum("bni,bio->no", agg, bases)
+    return out, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _basis_merged_core(x, params, merged, compute_dtype):
+    return _basis_merged_fwd_impl(x, params, merged, compute_dtype)[0]
+
+
+def _basis_merged_fwd(x, params, merged, compute_dtype):
+    out, agg = _basis_merged_fwd_impl(x, params, merged, compute_dtype)
+    return out, (x, params, merged, agg)
+
+
+def _basis_merged_bwd(compute_dtype, res, g):
+    x, (bases, comps), merged, agg = res
+
+    dbases = jnp.einsum("bni,no->bio", agg, g).astype(bases.dtype)
+
+    # cotangent rows per basis: G_b = g @ B_b^T  (nb, N, din)
+    G = jnp.einsum("no,bio->bni", g, bases)
+    if compute_dtype is not None:
+        G = G.astype(compute_dtype)
+
+    # dx: weighted aggregation over the reversed pair structure, summed
+    # over bases; the reverse slots' sources are the forward receivers.
+    rwvec = _merged_wvec(merged.rev_coeff, comps)
+    Gg = jnp.swapaxes(G, 0, 1)[jnp.asarray(merged.rev_src_sorted)]  # (L', nb, din)
+    dx = weighted_aggregate_pallas(
+        jnp.swapaxes(Gg, 0, 1), rwvec, merged.rev_layout, merged.num_nodes,
+        sum_bases=True, compute_dtype=compute_dtype,
+        out_dtype=(compute_dtype or jnp.float32),
+    )[0]
+
+    # dcomps[r, b] = Σ_slots coeff[l, r] · <x[receiver_l], G_b[source_l]>,
+    # in the REVERSE frame so the Gg rows gathered for dx are reused; only
+    # x rows at the reverse receivers (the forward sources) are fetched.
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xr = xc[jnp.asarray(merged.rev_receiver)]  # (L', din)
+    t = jnp.einsum("li,lbi->lb", xr, Gg, preferred_element_type=jnp.float32)
+    dcomps = jnp.einsum(
+        "lr,lb->rb", jnp.asarray(merged.rev_coeff), t,
+        preferred_element_type=jnp.float32,
+    ).astype(comps.dtype)
+
+    return dx.astype(x.dtype), (dbases, dcomps), None
+
+
+_basis_merged_core.defvjp(_basis_merged_fwd, _basis_merged_bwd)
+
+
+def rel_spmm_basis_merged_ad(merged, x: jax.Array, bases, comps,
+                             compute_dtype=jnp.bfloat16):
+    """Differentiable aggregation-first basis SpMM over coalesced pairs.
+
+    ``merged`` is a :class:`rgcn_tpu.graph.coalesce.MergedPairLayout` built
+    from the same augmented edges an :class:`EdgeSet` would carry; the
+    result equals :func:`rel_spmm_basis_ad` on the unmerged edges (same
+    math, reassociated sums — allclose at f32, tests/test_coalesce.py).
+    """
+    return _basis_merged_core(x, (bases, comps), merged, compute_dtype)
 
 
 # ---------------------------------------------------------------------------
