@@ -118,10 +118,12 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         from rgcn_tpu.graph.coalesce import build_merged_layout
         from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_merged_ad
 
+        # rb=128/ch=128: swept optimum (benchmarks/kernels.py) — smaller
+        # chunks cut per-row-block padding and pipeline better
         merged = build_merged_layout(
             np.asarray(es.dst), np.asarray(es.src), np.asarray(es.rel),
             np.asarray(es.val), num_nodes, es.num_rels,
-            row_block=128, chunk=256,
+            row_block=128, chunk=128,
         )
         print(
             f"bench coalescing: {merged.num_edges} edges -> "

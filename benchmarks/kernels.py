@@ -94,10 +94,35 @@ def main():
 
     fl = build_fused_layout(es, row_block=512, chunk=512, quantum=32)
 
+    from rgcn_tpu.graph.coalesce import build_merged_layout
     from rgcn_tpu.ops.pallas_basis import (
         _sorted_inputs,
+        rel_spmm_basis_merged_ad,
         weighted_aggregate_pallas,
     )
+
+    def _merged(rb, ch):
+        m = build_merged_layout(
+            np.asarray(es.dst), np.asarray(es.src), np.asarray(es.rel),
+            np.asarray(es.val), num_nodes, es.num_rels,
+            row_block=rb, chunk=ch,
+        )
+        return jax.tree.map(jnp.asarray, m)
+
+    def _merged_op(rb, ch):
+        # the ~19 MB coeff matrix rides the w pytree (jit argument, not a
+        # closure constant — remote-compile request size limit)
+        w_val = (w, _merged(rb, ch))
+
+        def op(x, wv):
+            w_arr, m = wv
+            return (
+                rel_spmm_basis_merged_ad(m, x, bases, comps,
+                                         compute_dtype=jnp.bfloat16)
+                + x @ w_arr[-1].astype(jnp.bfloat16)
+            )
+
+        return op, w_val
 
     def _basis_agg(x, out_dtype):
         src_sorted, wvec = _sorted_inputs(es128, comps)
@@ -125,6 +150,14 @@ def main():
                               compute_dtype=jnp.bfloat16)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
+        # coalesced-pair layouts (graph/coalesce.py) at several
+        # (row_block, chunk) points — the headline path
+        "basis-merged-bf16": _merged_op(128, 256),
+        "basis-merged-bf16-ch128": _merged_op(128, 128),
+        "basis-merged-bf16-rb256": _merged_op(256, 256),
+        "basis-merged-bf16-ch64": _merged_op(128, 64),
+        "basis-merged-bf16-rb64ch128": _merged_op(64, 128),
+        "basis-merged-bf16-rb64ch64": _merged_op(64, 64),
         # ablation: the f32 aggregate (production materializes it bf16 —
         # measured 1.43 vs 1.38 ms; the in-kernel basis-matmul fold
         # measured 1.55 ms and was removed)
@@ -173,8 +206,11 @@ def main():
     for name, op in variants.items():
         if args.only and args.only not in name:
             continue
+        w_val = w
+        if isinstance(op, tuple):
+            op, w_val = op
         try:
-            dt = _chained_time(op, x, w, args.iters)
+            dt = _chained_time(op, x, w_val, args.iters)
             print(json.dumps({
                 "variant": name,
                 "ms_per_op": round(dt * 1e3, 3),

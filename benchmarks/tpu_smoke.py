@@ -106,6 +106,39 @@ def main() -> int:
     )(x)
     check("basis_aggfirst_f32", got, oracle_b, 3e-2, 3e-2)
 
+    # coalesced-pair basis path (graph/coalesce.py) — forward AND gradients
+    # on hardware vs the unmerged kernel (exact reassociation)
+    from rgcn_tpu.graph.coalesce import build_merged_layout
+    from rgcn_tpu.ops.pallas_basis import rel_spmm_basis_merged_ad
+
+    merged = build_merged_layout(
+        np.asarray(es.dst), np.asarray(es.src), np.asarray(es.rel),
+        np.asarray(es.val), num_nodes, es.num_rels,
+    )
+    merged_dev = jax.tree.map(jnp.asarray, merged)
+    got = jax.jit(
+        lambda m, x: rel_spmm_basis_merged_ad(
+            m, x, bases, comps, compute_dtype=None
+        )
+    )(merged_dev, x)
+    check("basis_merged_f32", got, oracle_b, 3e-2, 3e-2)
+
+    def _loss_merged(m, x):
+        return jnp.sum(
+            jnp.sin(rel_spmm_basis_merged_ad(m, x, bases, comps,
+                                             compute_dtype=None))
+        )
+
+    def _loss_unmerged(x):
+        return jnp.sum(
+            jnp.sin(rel_spmm_basis_ad(es, x, bases, comps,
+                                      compute_dtype=None))
+        )
+
+    gm = jax.jit(jax.grad(_loss_merged, argnums=1))(merged_dev, x)
+    gu = jax.jit(jax.grad(_loss_unmerged))(x)
+    check("basis_merged_grad_x", gm, gu, 3e-2, 3e-2)
+
     # diag permute-free kernel
     from rgcn_tpu.ops.pallas_diag import rel_spmm_diag_ad
     from rgcn_tpu.ops.spmm import rel_spmm_diag

@@ -140,7 +140,13 @@ def _pair_frame(
         [pair_coeff, np.zeros((1, pair_coeff.shape[1]), np.float32)], axis=0
     )
     perm = layout.perm  # pads -> n_pairs (one-past-end -> zero row)
-    return layout, src_z[perm].astype(np.int32), coeff_z[perm]
+    # np.take, not fancy indexing: numpy 2.0's int32-index row gather hits
+    # a slow path (~300x) that made this the whole build's cost
+    return (
+        layout,
+        np.take(src_z, perm).astype(np.int32),
+        np.take(coeff_z, perm, axis=0),
+    )
 
 
 def build_merged_layout(
@@ -152,7 +158,7 @@ def build_merged_layout(
     num_rels: int,
     *,
     row_block: int = 128,
-    chunk: int = 256,
+    chunk: int = 128,  # swept on-chip: ch=128 beats 256 1.6x at WN18 scale
     max_rels: int = 128,
     pad_to: Optional[int] = None,
     rev_pad_to: Optional[int] = None,

@@ -161,6 +161,7 @@ def build_edge_set(
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
     prefer_native: bool = True,
+    with_merged_layout: bool = False,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -172,6 +173,13 @@ def build_edge_set(
     ``with_dst_layout=True`` additionally attaches the destination-sorted
     aggregation layout enabling the fully-Pallas SpMM path.
 
+    ``with_merged_layout=True`` additionally attaches the coalesced-pair
+    layout (:mod:`rgcn_tpu.graph.coalesce`) that the *basis* SpMM prefers —
+    parallel edges across relations merge into single gather slots (real
+    KGs are reciprocal, so this ~halves the edge stage on e.g. WN18).
+    Requires a modest relation vocabulary (R' <= 128); other decomposition
+    paths ignore it.
+
     When the native (C++/OpenMP) builder is compiled (``make -C native``) it
     handles the sort/normalize/tile pipeline — bit-identical output, ~30x
     faster on large graphs. Set ``prefer_native=False`` to force NumPy.
@@ -179,6 +187,18 @@ def build_edge_set(
     triples = np.asarray(triples, dtype=np.int64)
     if triples.ndim != 2 or triples.shape[1] != 3:
         raise ValueError(f"triples must be (E, 3), got {triples.shape}")
+
+    def _attach_merged(es: EdgeSet) -> EdgeSet:
+        if not with_merged_layout:
+            return es
+        from rgcn_tpu.graph.coalesce import build_merged_layout
+
+        return dataclasses.replace(
+            es,
+            merged=build_merged_layout(
+                es.dst, es.src, es.rel, es.val, es.num_nodes, es.num_rels
+            ),
+        )
 
     if prefer_native and add_inverses:
         from rgcn_tpu.graph import native as _native
@@ -189,7 +209,7 @@ def build_edge_set(
                 tile_multiple=tile_multiple, with_dst_layout=with_dst_layout,
             )
             if es is not None:
-                return es
+                return _attach_merged(es)
 
     if add_inverses:
         triples = np.concatenate(
@@ -228,7 +248,7 @@ def build_edge_set(
         es = dataclasses.replace(
             es, reverse=rev, fused=build_fused_layout(es)
         )
-    return es
+    return _attach_merged(es)
 
 
 def _assemble_edge_set(

@@ -322,10 +322,19 @@ def train_link_predictor(
         return params, opt_state, loss
 
     # Static full-graph EdgeSet for evaluation (built once); the destination
-    # layout turns on the Pallas aggregation path on TPU.
+    # layout turns on the Pallas aggregation path on TPU. Basis encoders
+    # additionally get the coalesced-pair layout — the full graph carries
+    # every reciprocal duplicate, so merging ~halves the encode's edge
+    # stage (graph/coalesce.py; sampled per-epoch subgraphs rarely contain
+    # both directions of a pair, so training graphs stay unmerged).
+    merge_eval = (
+        enc.decomposition is not None
+        and enc.decomposition.type == "basis"
+        and 2 * num_rels <= 128
+    )
     eval_edges = build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,
-        with_dst_layout=True,
+        with_dst_layout=True, with_merged_layout=merge_eval,
     )
     filters = (
         build_filters(test_np, data.all_triples, num_nodes)
