@@ -147,9 +147,19 @@ def train_link_predictor_sharded(
 
     epochs = max_epochs if max_epochs is not None else cfg.training.epochs
     base_key = jax.random.key(seed + 2)
+    # basis encoders evaluate through the coalesced-pair layout (the full
+    # graph carries every reciprocal duplicate — see graph/coalesce.py);
+    # the sharded part of evaluation is the candidate sweep, the encode
+    # itself runs unsharded (init_model below), so the merged dispatch
+    # applies directly.
+    merge_eval = (
+        enc.decomposition is not None
+        and enc.decomposition.type == "basis"
+        and 2 * num_rels <= 128
+    )
     eval_edges = build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,
-        with_dst_layout=True,
+        with_dst_layout=True, with_merged_layout=merge_eval,
     )
     from rgcn_tpu.train.evaluate import build_filters
 

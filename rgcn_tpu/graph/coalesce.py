@@ -158,7 +158,11 @@ def build_merged_layout(
     num_rels: int,
     *,
     row_block: int = 128,
-    chunk: int = 128,  # swept on-chip: ch=128 beats 256 1.6x at WN18 scale
+    # chunk swept on-chip at WN18 scale over 3 independent processes:
+    # ch=256 and ch=128 are within measurement noise (0.80-0.87 ms; one
+    # 0.54 ms ch=128 reading did not reproduce), ch=64 and rb=64/256 are
+    # consistently worse — see benchmarks/kernels.py
+    chunk: int = 256,
     max_rels: int = 128,
     pad_to: Optional[int] = None,
     rev_pad_to: Optional[int] = None,

@@ -306,10 +306,16 @@ def rel_spmm_basis_ad(edges: EdgeSet, x: jax.Array, bases, comps,
 
 
 def _merged_wvec(coeff, comps):
-    """(nb, L) per-slot basis weights from the static (L, R') coefficients."""
+    """(nb, L) per-slot basis weights from the static (L, R') coefficients.
+
+    ``precision='highest'``: TPU XLA runs f32 matmuls one-pass bf16 by
+    default, but the unmerged path computes these weights *elementwise*
+    at full f32 — the tiny (L, R') x (R', nb) product must not be the one
+    place the merged path loses mantissa (caught by the on-hardware
+    gradient check in benchmarks/tpu_smoke.py)."""
     return jnp.einsum(
         "lr,rb->bl", jnp.asarray(coeff), comps,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision="highest",
     )
 
 
@@ -365,7 +371,7 @@ def _basis_merged_bwd(compute_dtype, res, g):
     t = jnp.einsum("li,lbi->lb", xr, Gg, preferred_element_type=jnp.float32)
     dcomps = jnp.einsum(
         "lr,lb->rb", jnp.asarray(merged.rev_coeff), t,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision="highest",
     ).astype(comps.dtype)
 
     return dx.astype(x.dtype), (dbases, dcomps), None
