@@ -96,6 +96,77 @@ def _diag_ad_bwd(compute_dtype, res, g):
 _diag_ad_core.defvjp(_diag_ad_fwd, _diag_ad_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Coalesced-pair variant (e-RGCN over reciprocal graphs): the per-slot
+# weight becomes a *vector* ``dvec_l = Σ_{e on pair} val_e · dw[rel_e]`` —
+# computed as one small MXU matmul ``coeff @ dw`` from the static per-slot
+# relation coefficients (rgcn_tpu/graph/coalesce.py), so parallel edges
+# cost one gather slot instead of one each. Same exact-reassociation
+# contract as the merged basis path.
+# ---------------------------------------------------------------------------
+
+
+def _merged_dvec(coeff, dw):
+    # precision='highest': the unmerged path applies dw elementwise at full
+    # f32; this tiny (L, R') x (R', d) product must not round to bf16
+    return jnp.einsum(
+        "lr,rd->ld", jnp.asarray(coeff), dw,
+        preferred_element_type=jnp.float32, precision="highest",
+    )
+
+
+def _diag_merged_agg(rows, dvec, layout, num_nodes, compute_dtype):
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+        dvec = dvec.astype(compute_dtype)
+    return aggregate_presorted_pallas(rows * dvec, layout, num_nodes)
+
+
+def _diag_merged_impl(x, dw, merged, compute_dtype):
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xg = xc[jnp.asarray(merged.src_sorted)]  # (L, d)
+    return _diag_merged_agg(
+        xg, _merged_dvec(merged.coeff, dw), merged.layout,
+        merged.num_nodes, compute_dtype,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _diag_merged_core(x, dw, merged, compute_dtype):
+    return _diag_merged_impl(x, dw, merged, compute_dtype)
+
+
+def _diag_merged_fwd(x, dw, merged, compute_dtype):
+    return _diag_merged_impl(x, dw, merged, compute_dtype), (x, dw, merged)
+
+
+def _diag_merged_bwd(compute_dtype, res, g):
+    x, dw, merged = res
+    g = g.astype(x.dtype)
+    gc = g.astype(compute_dtype) if compute_dtype is not None else g
+
+    # dx: same pipeline over the reversed pair frame; the cotangent rows
+    # gathered here are REUSED for d dw below.
+    gg = gc[jnp.asarray(merged.rev_src_sorted)]  # (L', d)
+    dx = _diag_merged_agg(
+        gg, _merged_dvec(merged.rev_coeff, dw), merged.rev_layout,
+        merged.num_nodes, compute_dtype,
+    ).astype(x.dtype)
+
+    # d dw[r, k] = Σ_slots coeff[l, r] · x[receiver_l, k] · g[source_l, k]
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+    xr = xc[jnp.asarray(merged.rev_receiver)]  # (L', d)
+    t = (xr * gg).astype(jnp.float32)
+    ddw = jnp.einsum(
+        "lr,ld->rd", jnp.asarray(merged.rev_coeff), t,
+        preferred_element_type=jnp.float32, precision="highest",
+    ).astype(dw.dtype)
+    return dx, ddw, None
+
+
+_diag_merged_core.defvjp(_diag_merged_fwd, _diag_merged_bwd)
+
+
 def rel_spmm_diag_ad(
     edges: EdgeSet,
     x: jax.Array,
@@ -105,8 +176,14 @@ def rel_spmm_diag_ad(
     """Differentiable permute-free diagonal relational SpMM.
 
     Requires ``edges.layout`` and ``edges.reverse``
-    (``with_dst_layout=True``).
+    (``with_dst_layout=True``). When the EdgeSet carries a coalesced-pair
+    layout (``edges.merged``), the merged path is used — fewer gather
+    slots, identical math.
     """
+    if getattr(edges, "merged", None) is not None:
+        return _diag_merged_core(
+            x, diag_weights, edges.merged, compute_dtype
+        )
     if edges.layout is None or edges.reverse is None:
         raise ValueError(
             "rel_spmm_diag_ad needs an EdgeSet built with "

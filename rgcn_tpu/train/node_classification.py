@@ -68,10 +68,21 @@ def train_node_classifier(
     rg = cfg.rgcn
 
     # with_dst_layout enables the fully-Pallas SpMM (auto-selected on TPU;
-    # the featureful layers train through its custom VJP)
+    # the featureful layers train through its custom VJP). Diag (e-RGCN)
+    # and small-basis layers additionally ride the coalesced-pair layout
+    # when the relation vocabulary admits it — NC trains full-batch on the
+    # full graph, which carries every parallel-edge duplicate
+    # (graph/coalesce.py; the featureless first layer and wide-basis /
+    # dense paths ignore the merged layout).
+    decomp = rg.decomposition
+    merge_ok = 2 * data.num_relations <= 128 and (
+        rg.model == "e-rgcn"
+        or (decomp is not None and decomp.type == "basis"
+            and decomp.num_bases <= 8)
+    )
     edges = build_edge_set(
         data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
-        with_dst_layout=True,
+        with_dst_layout=True, with_merged_layout=merge_ok,
     )
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)

@@ -133,6 +133,70 @@ def test_edgeset_merged_dispatch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_diag_merged_matches_unmerged():
+    """Coalesced diag path (e-RGCN): vector per-slot weights — outputs and
+    both gradients must match the unmerged permute-free kernel."""
+    from rgcn_tpu.ops.pallas_diag import rel_spmm_diag_ad
+
+    rng = np.random.default_rng(6)
+    n, r, d = 40, 4, 12
+    triples = _reciprocal_triples(rng, n, r, 200, reciprocity=0.9)
+    es = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    import dataclasses
+
+    es_m = dataclasses.replace(es, merged=_merged_from_es(es))
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    dw = jnp.asarray(rng.normal(size=(2 * r, d)).astype(np.float32))
+
+    want = np.asarray(rel_spmm_diag_ad(es, x, dw))
+    got = np.asarray(rel_spmm_diag_ad(es_m, x, dw))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def loss(es_arg, x, dw):
+        return jnp.sum(jnp.sin(rel_spmm_diag_ad(es_arg, x, dw)))
+
+    g1 = jax.grad(loss, argnums=(1, 2))(es_m, x, dw)
+    g2 = jax.grad(loss, argnums=(1, 2))(es, x, dw)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_embedding_nc_merged_matches_unmerged():
+    """EmbeddingNodeClassifier (e-RGCN) end-to-end: logits and parameter
+    gradients identical (to f32 reassociation) with a merged EdgeSet."""
+    import dataclasses
+
+    from rgcn_tpu.models import EmbeddingNodeClassifier
+
+    rng = np.random.default_rng(7)
+    n, r = 40, 4
+    triples = _reciprocal_triples(rng, n, r, 180, reciprocity=0.8)
+    es = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    es_m = dataclasses.replace(es, merged=_merged_from_es(es))
+
+    model = EmbeddingNodeClassifier(
+        num_nodes=n, num_relations=r, num_classes=3, emb_dim=8,
+        backend="pallas",
+    )
+    params = model.init(jax.random.key(0), es)
+
+    want = np.asarray(model.apply(params, es))
+    got = np.asarray(model.apply(params, es_m))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def loss(es_arg, p):
+        return jnp.sum(jnp.tanh(model.apply(p, es_arg)))
+
+    g1 = jax.grad(lambda p: loss(es_m, p))(params)
+    g2 = jax.grad(lambda p: loss(es, p))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_merged_refuses_large_relation_vocab():
     import pytest
 
