@@ -110,19 +110,24 @@ def main():
         return jax.tree.map(jnp.asarray, m)
 
     def _merged_op(rb, ch):
-        # the ~19 MB coeff matrix rides the w pytree (jit argument, not a
-        # closure constant — remote-compile request size limit)
-        w_val = (w, _merged(rb, ch))
+        # returns a THUNK so layouts build only for variants that survive
+        # the --only filter (each build + device upload costs seconds)
+        def make():
+            # the ~19 MB coeff matrix rides the w pytree (jit argument,
+            # not a closure constant — remote-compile request size limit)
+            w_val = (w, _merged(rb, ch))
 
-        def op(x, wv):
-            w_arr, m = wv
-            return (
-                rel_spmm_basis_merged_ad(m, x, bases, comps,
-                                         compute_dtype=jnp.bfloat16)
-                + x @ w_arr[-1].astype(jnp.bfloat16)
-            )
+            def op(x, wv):
+                w_arr, m = wv
+                return (
+                    rel_spmm_basis_merged_ad(m, x, bases, comps,
+                                             compute_dtype=jnp.bfloat16)
+                    + x @ w_arr[-1].astype(jnp.bfloat16)
+                )
 
-        return op, w_val
+            return op, w_val
+
+        return ("lazy", make)
 
     def _basis_agg(x, out_dtype):
         src_sorted, wvec = _sorted_inputs(es128, comps)
@@ -207,8 +212,8 @@ def main():
         if args.only and args.only not in name:
             continue
         w_val = w
-        if isinstance(op, tuple):
-            op, w_val = op
+        if isinstance(op, tuple):  # ("lazy", thunk) -> build on demand
+            op, w_val = op[1]()
         try:
             dt = _chained_time(op, x, w_val, args.iters)
             print(json.dumps({

@@ -152,10 +152,12 @@ def train_link_predictor_sharded(
     # the sharded part of evaluation is the candidate sweep, the encode
     # itself runs unsharded (init_model below), so the merged dispatch
     # applies directly.
-    merge_eval = (
-        enc.decomposition is not None
-        and enc.decomposition.type == "basis"
-        and 2 * num_rels <= 128
+    from rgcn_tpu.graph.coalesce import merge_applicable
+
+    merge_eval = enc.decomposition is not None and merge_applicable(
+        2 * num_rels,
+        decomposition=enc.decomposition.type,
+        num_bases=enc.decomposition.num_bases,
     )
     eval_edges = build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,

@@ -57,7 +57,39 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_JAX = False
 
-__all__ = ["MergedPairLayout", "build_merged_layout"]
+__all__ = [
+    "MergedPairLayout",
+    "build_merged_layout",
+    "merge_applicable",
+    "MERGED_MAX_RELS",
+]
+
+#: Largest general-relation vocabulary for which the dense (L, R')
+#: coefficient matrix is worth its memory/traffic.
+MERGED_MAX_RELS = 128
+
+
+def merge_applicable(
+    num_general_rels: int,
+    *,
+    decomposition: Optional[str] = None,
+    num_bases: int = 0,
+    diag: bool = False,
+) -> bool:
+    """Will some layer path actually consume a merged layout?
+
+    The ONE place encoding which configurations ride the coalesced paths
+    (trainers must not re-derive this): the diag kernel always can; the
+    basis kernel only for ``num_bases <= 8`` (wider basis configs expand
+    to dense weights inside the layer — ``nn/layers.py`` — and ignore
+    ``edges.merged``); everything else ignores it. Large relation
+    vocabularies are refused wholesale (see :data:`MERGED_MAX_RELS`).
+    """
+    if num_general_rels > MERGED_MAX_RELS:
+        return False
+    if diag:
+        return True
+    return decomposition == "basis" and 0 < num_bases <= 8
 
 
 @dataclasses.dataclass(frozen=True)

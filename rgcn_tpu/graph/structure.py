@@ -85,8 +85,13 @@ class EdgeSet:
     # (rgcn_tpu.ops.pallas_fused.FusedLayout); host-built graphs only.
     fused: Optional[object] = None
     # Optional coalesced-pair layout (rgcn_tpu.graph.coalesce
-    # .MergedPairLayout): parallel edges merged for the basis kernel —
-    # the basis ops prefer it when present.
+    # .MergedPairLayout): parallel edges merged for the basis/diag
+    # kernels — those ops prefer it when present. CAUTION: it is a frozen
+    # snapshot of (rel, val); any runtime reweighting of this EdgeSet
+    # (e.g. `dataclasses.replace(es, val=es.val * keep_mask)`) MUST also
+    # set merged=None, or the coalesced ops will silently compute with
+    # the stale weights. (All in-repo producers attach it only to static
+    # full-graph EdgeSets whose values never change after construction.)
     merged: Optional[object] = None
 
     @property
@@ -191,8 +196,13 @@ def build_edge_set(
     def _attach_merged(es: EdgeSet) -> EdgeSet:
         if not with_merged_layout:
             return es
-        from rgcn_tpu.graph.coalesce import build_merged_layout
+        from rgcn_tpu.graph.coalesce import MERGED_MAX_RELS, build_merged_layout
 
+        if es.num_rels > MERGED_MAX_RELS:
+            # skip, don't raise: the flag means "merge if worthwhile" —
+            # callers (and the basis/diag ops) fall back to the unmerged
+            # path when `merged` is absent
+            return es
         return dataclasses.replace(
             es,
             merged=build_merged_layout(

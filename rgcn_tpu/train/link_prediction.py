@@ -327,10 +327,12 @@ def train_link_predictor(
     # every reciprocal duplicate, so merging ~halves the encode's edge
     # stage (graph/coalesce.py; sampled per-epoch subgraphs rarely contain
     # both directions of a pair, so training graphs stay unmerged).
-    merge_eval = (
-        enc.decomposition is not None
-        and enc.decomposition.type == "basis"
-        and 2 * num_rels <= 128
+    from rgcn_tpu.graph.coalesce import merge_applicable
+
+    merge_eval = enc.decomposition is not None and merge_applicable(
+        2 * num_rels,
+        decomposition=enc.decomposition.type,
+        num_bases=enc.decomposition.num_bases,
     )
     eval_edges = build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,

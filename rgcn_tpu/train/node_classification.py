@@ -74,11 +74,14 @@ def train_node_classifier(
     # full graph, which carries every parallel-edge duplicate
     # (graph/coalesce.py; the featureless first layer and wide-basis /
     # dense paths ignore the merged layout).
+    from rgcn_tpu.graph.coalesce import merge_applicable
+
     decomp = rg.decomposition
-    merge_ok = 2 * data.num_relations <= 128 and (
-        rg.model == "e-rgcn"
-        or (decomp is not None and decomp.type == "basis"
-            and decomp.num_bases <= 8)
+    merge_ok = merge_applicable(
+        2 * data.num_relations,
+        decomposition=decomp.type if decomp else None,
+        num_bases=decomp.num_bases if decomp else 0,
+        diag=rg.model == "e-rgcn",
     )
     edges = build_edge_set(
         data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
