@@ -1,0 +1,259 @@
+"""Inference serving for trained models (encode-once, static-shape).
+
+The reference has no inference story beyond its evaluation loop, which
+re-runs the graph encoder for every candidate batch
+(``/root/reference/utils/misc.py:86``). Serving on TPU inverts that:
+
+* **Encode once, query many.** Node representations ``z`` depend only on
+  the graph and parameters, so the server computes them at construction
+  (through the full Pallas/coalesced encoder path — ``edges.merged`` is
+  honored automatically) and keeps them device-resident. Queries are then
+  pure DistMult algebra: a ``(B, d) x (d, N)`` MXU matmul + ``top_k``.
+* **Static shapes via power-of-two buckets.** A serving batch of any size
+  pads to the next power of two (capped at ``max_batch``, larger requests
+  chunk), so every bucket compiles exactly once and XLA reuses the
+  executable — no per-request recompiles, the TPU serving discipline.
+* **One jitted program per (bucket, k).** Ranking fuses score + ``top_k``
+  on device; only the ``(B, k)`` result crosses back to the host.
+
+``NodeClassificationServer`` is the degenerate case: one full forward at
+construction, queries are table lookups.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "LinkPredictionServer",
+    "NodeClassificationServer",
+    "load_lp_server",
+]
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class LinkPredictionServer:
+    """Encode-once DistMult serving over a trained :class:`LinkPredictor`.
+
+    ``model`` / ``params`` — a trained flax LP model (or c-RGCN);
+    ``edges`` — the full-graph EdgeSet to encode (build with
+    ``with_merged_layout`` for basis encoders — see
+    :func:`rgcn_tpu.graph.coalesce.merge_applicable`).
+    """
+
+    def __init__(self, model, params, edges, max_batch: int = 1024):
+        self._model = model
+        self._params = params
+        self._edges = edges
+        self.max_batch = int(max_batch)
+        encode = jax.jit(
+            lambda p, e: model.apply(p, e, method=model.encode)
+        )
+        self.z = encode(params, edges)  # (N, d), device-resident
+        self.num_nodes = int(self.z.shape[0])
+
+        # jitted per-bucket programs, compiled on first use; point scoring
+        # routes through the model's actual decoder (biases included)
+        @functools.lru_cache(maxsize=32)
+        def _score_fn(bucket: int):
+            def point(p, z, triples):
+                return model.apply(
+                    p,
+                    method=lambda m: m.scoring_function(triples, z),
+                )
+
+            return jax.jit(point)
+
+        @functools.lru_cache(maxsize=64)
+        def _rank_fn(bucket: int, k: int, tails: bool):
+            method = "score_tails" if tails else "score_heads"
+
+            def run(p, z, batch):
+                scores = model.apply(
+                    p, batch, z, method=getattr(model, method)
+                )  # (B, N)
+                return jax.lax.top_k(scores, k)
+
+            return jax.jit(run)
+
+        self._score_fn = _score_fn
+        self._rank_fn = _rank_fn
+
+    # -- point scoring ----------------------------------------------------
+    def score(self, triples: np.ndarray) -> np.ndarray:
+        """DistMult scores for ``(B, 3)`` `(s, p, o)` triples."""
+        triples = np.asarray(triples)
+        out = np.empty((len(triples),), np.float32)
+        for lo, hi, padded in self._chunks(triples):
+            scores = self._score_fn(padded.shape[0])(
+                self._params, self.z, jnp.asarray(padded)
+            )
+            out[lo:hi] = np.asarray(scores)[: hi - lo]
+        return out
+
+    # -- ranking ----------------------------------------------------------
+    def topk_tails(
+        self, sp: np.ndarray, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` tail entities for ``(B, 2)`` `(s, p)` queries.
+
+        Returns ``(scores (B, k), entities (B, k))``, unfiltered (raw)
+        ranking — the serving analogue of
+        ``/root/reference/utils/misc.py:60-110``'s candidate sweep.
+        """
+        sp = np.asarray(sp)
+        queries = np.stack(
+            [sp[:, 0], sp[:, 1], np.zeros(len(sp), sp.dtype)], axis=1
+        )
+        return self._rank(queries, k, tails=True)
+
+    def topk_heads(
+        self, po: np.ndarray, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` head entities for ``(B, 2)`` `(p, o)` queries."""
+        po = np.asarray(po)
+        queries = np.stack(
+            [np.zeros(len(po), po.dtype), po[:, 0], po[:, 1]], axis=1
+        )
+        return self._rank(queries, k, tails=False)
+
+    def refresh(self, params=None, edges=None):
+        """Re-encode after a parameter and/or graph update (hot swap)."""
+        if params is not None:
+            self._params = params
+        if edges is not None:
+            self._edges = edges
+        model = self._model
+        encode = jax.jit(lambda p, e: model.apply(p, e, method=model.encode))
+        self.z = encode(self._params, self._edges)
+
+    # -- internals --------------------------------------------------------
+    def _chunks(self, arr: np.ndarray):
+        """Yield ``(lo, hi, padded)`` chunks at power-of-two bucket sizes
+        (pad rows repeat the last query — cheaper than masking, results
+        are sliced off)."""
+        n = len(arr)
+        lo = 0
+        while lo < n:
+            hi = min(lo + self.max_batch, n)
+            bucket = _bucket(hi - lo, self.max_batch)
+            padded = arr[lo:hi]
+            if len(padded) < bucket:
+                pad = np.repeat(padded[-1:], bucket - len(padded), axis=0)
+                padded = np.concatenate([padded, pad], axis=0)
+            yield lo, hi, padded
+            lo = hi
+
+    def _rank(self, queries: np.ndarray, k: int, tails: bool):
+        scores = np.empty((len(queries), k), np.float32)
+        ents = np.empty((len(queries), k), np.int32)
+        for lo, hi, padded in self._chunks(queries):
+            s, e = self._rank_fn(padded.shape[0], k, tails)(
+                self._params, self.z, jnp.asarray(padded)
+            )
+            scores[lo:hi] = np.asarray(s)[: hi - lo]
+            ents[lo:hi] = np.asarray(e)[: hi - lo]
+        return scores, ents
+
+
+class NodeClassificationServer:
+    """One full forward at construction; queries are row lookups."""
+
+    def __init__(self, model, params, edges):
+        self._model = model
+        self._params = params
+        self._edges = edges
+        self.logits = np.asarray(
+            jax.jit(lambda p, e: model.apply(p, e))(params, edges)
+        )
+
+    def classify(self, nodes) -> np.ndarray:
+        """Predicted class ids for the given node ids."""
+        return np.argmax(self.logits[np.asarray(nodes)], axis=-1)
+
+    def probabilities(self, nodes) -> np.ndarray:
+        logit = self.logits[np.asarray(nodes)]
+        e = np.exp(logit - logit.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    def refresh(self, params=None):
+        if params is not None:
+            self._params = params
+        self.logits = np.asarray(
+            jax.jit(lambda p, e: self._model.apply(p, e))(
+                self._params, self._edges
+            )
+        )
+
+
+def load_lp_server(
+    cfg,
+    data,
+    checkpoint_dir: str,
+    tile_size: int = 128,
+    max_batch: int = 1024,
+    feature_blocks: bool = False,
+) -> Optional[LinkPredictionServer]:
+    """Build a serving endpoint from a training checkpoint.
+
+    ``cfg`` — a :class:`~rgcn_tpu.config.LinkPredictionExperiment` (or a
+    path loadable by :func:`~rgcn_tpu.config.load_experiment`); ``data`` —
+    the :class:`~rgcn_tpu.data.loaders.LinkPredictionData` the model was
+    trained on. Returns ``None`` when the checkpoint directory holds no
+    checkpoint.
+    """
+    import jax.numpy as _jnp  # noqa: F401  (jax initialized before use)
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.graph.coalesce import merge_applicable
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.train.link_prediction import build_lp_model
+    from rgcn_tpu.utils.checkpoint import restore_checkpoint
+
+    if not hasattr(cfg, "encoder"):
+        cfg = load_experiment(cfg)
+    enc = cfg.encoder
+    if enc.decomposition and enc.decomposition.type == "block":
+        block_size = enc.node_embedding // enc.decomposition.num_blocks
+        data.pad_nodes(block_size)
+    num_nodes, num_rels = data.num_nodes, data.num_relations
+    train_np = np.asarray(data.train, dtype=np.int64)
+
+    model = build_lp_model(
+        cfg, num_nodes, num_rels, feature_blocks=feature_blocks
+    )
+    init_pos = jnp.asarray(train_np[: min(64, len(train_np))])
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        build_edge_set_dynamic(init_pos, num_nodes, num_rels,
+                               tile_size=tile_size),
+        init_pos,
+    )
+    restored, _step = restore_checkpoint(checkpoint_dir, {"params": params})
+    if restored is None:
+        return None
+
+    merge = enc.decomposition is not None and merge_applicable(
+        2 * num_rels,
+        decomposition=enc.decomposition.type,
+        num_bases=enc.decomposition.num_bases,
+    )
+    edges = build_edge_set(
+        train_np, num_nodes, num_rels, tile_size=tile_size,
+        with_dst_layout=True, with_merged_layout=merge,
+    )
+    return LinkPredictionServer(
+        model, restored["params"], edges, max_batch=max_batch
+    )

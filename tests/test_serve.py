@@ -1,0 +1,141 @@
+"""Serving layer (rgcn_tpu/serve.py): encode-once query answering must
+agree with the training-path forward, across bucket padding, ranking
+directions, and the checkpoint round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgcn_tpu.graph.structure import build_edge_set
+from rgcn_tpu.models import LinkPredictor, NodeClassifier
+from rgcn_tpu.serve import (
+    LinkPredictionServer,
+    NodeClassificationServer,
+    load_lp_server,
+)
+from tests.conftest import make_random_triples
+
+
+def _lp_setup(rng, n=50, r=4, e=220):
+    triples = make_random_triples(rng, n, r, e)
+    edges = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    model = LinkPredictor(
+        num_nodes=n, num_relations=r, emb_dim=12, hidden1_size=12,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    batch = jnp.asarray(triples[:32])
+    params = model.init({"params": jax.random.key(0)}, edges, batch)
+    return model, params, edges, triples
+
+
+def test_lp_server_scores_match_model_forward():
+    rng = np.random.default_rng(0)
+    model, params, edges, triples = _lp_setup(rng)
+    srv = LinkPredictionServer(model, params, edges, max_batch=16)
+
+    batch = triples[:23]  # not a power of two: exercises padding
+    want, _pen = model.apply(params, edges, jnp.asarray(batch))
+    got = srv.score(batch)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_lp_server_topk_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    model, params, edges, triples = _lp_setup(rng)
+    srv = LinkPredictionServer(model, params, edges, max_batch=8)
+    z = np.asarray(srv.z)
+    rel = np.asarray(params["params"]["scoring_function"]["relations"])
+
+    sp = np.stack([triples[:5, 0], triples[:5, 1]], axis=1)
+    scores, ents = srv.topk_tails(sp, k=4)
+    for i, (s, p) in enumerate(sp):
+        full = (z[s] * rel[p]) @ z.T
+        order = np.argsort(-full)
+        np.testing.assert_allclose(
+            scores[i], np.sort(full)[::-1][:4], rtol=1e-5, atol=1e-5
+        )
+        assert set(ents[i]) == set(order[:4])
+
+    po = np.stack([triples[:5, 1], triples[:5, 2]], axis=1)
+    scores_h, ents_h = srv.topk_heads(po, k=4)
+    for i, (p, o) in enumerate(po):
+        full = z @ (rel[p] * z[o])
+        np.testing.assert_allclose(
+            scores_h[i], np.sort(full)[::-1][:4], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_lp_server_bucketing_invariance():
+    """Results must not depend on how queries land in padding buckets."""
+    rng = np.random.default_rng(2)
+    model, params, edges, triples = _lp_setup(rng)
+    srv_small = LinkPredictionServer(model, params, edges, max_batch=4)
+    srv_big = LinkPredictionServer(model, params, edges, max_batch=64)
+
+    batch = triples[:13]
+    np.testing.assert_allclose(
+        srv_small.score(batch), srv_big.score(batch), rtol=1e-6, atol=1e-6
+    )
+    sp = np.stack([triples[:13, 0], triples[:13, 1]], axis=1)
+    s1, e1 = srv_small.topk_tails(sp, k=3)
+    s2, e2 = srv_big.topk_tails(sp, k=3)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_nc_server_matches_forward():
+    rng = np.random.default_rng(3)
+    n, r = 40, 4
+    triples = make_random_triples(rng, n, r, 150)
+    edges = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    model = NodeClassifier(
+        num_nodes=n, num_relations=r, num_classes=3, hidden_size=8
+    )
+    params = model.init(jax.random.key(0), edges)
+    srv = NodeClassificationServer(model, params, edges)
+
+    want = np.argmax(np.asarray(model.apply(params, edges)), axis=-1)
+    got = srv.classify(np.arange(n))
+    np.testing.assert_array_equal(got, want)
+    probs = srv.probabilities([0, 5, 7])
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-6)
+
+
+def test_load_lp_server_checkpoint_roundtrip(tmp_path):
+    """Checkpointed training params serve identically to in-memory ones."""
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = load_experiment("configs/rgcn/lp-WN18.yaml")
+    data = synthetic_link_prediction(
+        num_nodes=60, num_rels=6, num_edges=300, reciprocity=0.5, seed=4
+    )
+    n, r = data.num_nodes, data.num_relations
+    train_np = np.asarray(data.train, dtype=np.int64)
+
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+    from rgcn_tpu.train.link_prediction import build_lp_model
+
+    model = build_lp_model(cfg, n, r)
+    init_pos = jnp.asarray(train_np[:64])
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        build_edge_set_dynamic(init_pos, n, r, tile_size=16),
+        init_pos,
+    )
+    save_checkpoint(str(tmp_path), {"params": params}, step=7)
+
+    srv = load_lp_server(cfg, data, str(tmp_path), tile_size=16)
+    assert srv is not None
+
+    edges = build_edge_set(train_np, n, r, tile_size=16, with_dst_layout=True)
+    direct = LinkPredictionServer(model, params, edges)
+    batch = train_np[:10]
+    np.testing.assert_allclose(
+        srv.score(batch), direct.score(batch), rtol=1e-5, atol=1e-5
+    )
+
+    # absent checkpoint -> None
+    assert load_lp_server(cfg, data, str(tmp_path / "nope")) is None
