@@ -233,10 +233,12 @@ def train_link_predictor(
     # background epoch pipeline instead of as in-jit sorts/scatters on the
     # device (~10 ms cheaper per WN18-scale step). Bit-identical to the
     # traced builder (tests/test_dynamic_graph.py). Enabled on real local
-    # TPU backends, where the per-epoch ~8 MB EdgeSet transfer rides PCIe;
-    # on the tunneled 'axon' backend host->device transfers pay a network
-    # round-trip that outweighs the device-time win, so the in-jit build
-    # stays (override with host_graph_build).
+    # TPU backends, where the per-epoch ~8 MB EdgeSet transfer rides PCIe.
+    # On the tunneled 'axon' backend the in-jit build stays: measured
+    # (interleaved A/B, 2 trials) the hosted step is 548-766 ms/epoch vs
+    # 101 ms in-jit — the tunnel moves ~8 MB at ~20 MB/s, and even
+    # worker-thread async device_put two epochs ahead cannot hide 400+ ms
+    # transfers behind 60 ms steps. Override with host_graph_build.
     if host_graph_build is None:
         host_graph_build = (
             pallas_train_step and jax.default_backend() == "tpu"
@@ -395,7 +397,7 @@ def train_link_predictor(
                 train_np, batch_size, np.random.default_rng((seed, epoch))
             )
         if not host_graph_build:
-            return positives, None, None
+            return jnp.asarray(positives), None, None
         edges = build_edge_set_dynamic_host(
             positives, num_nodes, num_rels, tile_size=tile_size,
             dropout_rate=general_dropout,
@@ -412,9 +414,17 @@ def train_link_predictor(
         )
         if structured_ok:
             st_lays = build_structured_layouts(positives, ce_, num_nodes)
-            return positives, edges, (labels, None, None, (ch_, ce_, st_lays))
-        layouts = build_batch_layouts(batch, num_nodes)
-        return positives, edges, (labels, batch, layouts, None)
+            hosted = (labels, None, None, (ch_, ce_, st_lays))
+        else:
+            layouts = build_batch_layouts(batch, num_nodes)
+            hosted = (labels, batch, layouts, None)
+        # device_put from the worker thread: transfers are async and issue
+        # 1-2 epochs ahead, so the host->device copy (which costs a full
+        # network round trip on tunneled backends) overlaps with the
+        # device executing earlier steps instead of serializing into the
+        # epoch. This is what makes host_graph_build profitable on remote
+        # backends, not just local-PCIe ones.
+        return jax.device_put((jnp.asarray(positives), edges, hosted))
 
     # Background sampling pipeline: each epoch's subgraph is drawn by a
     # worker thread 1-2 epochs ahead while the device executes earlier

@@ -84,6 +84,32 @@ def test_lp_server_bucketing_invariance():
     np.testing.assert_array_equal(e1, e2)
 
 
+def test_lp_server_crgcn():
+    """The compression (c-RGCN) encoder serves through the same endpoint —
+    its residual encode must be what the server snapshots."""
+    from rgcn_tpu.models import CompressionRelationPredictor
+
+    rng = np.random.default_rng(9)
+    n, r = 40, 4
+    triples = make_random_triples(rng, n, r, 160)
+    edges = build_edge_set(triples, n, r, tile_size=16, with_dst_layout=True)
+    model = CompressionRelationPredictor(
+        num_nodes=n, num_relations=r, emb_dim=16, hidden1_size=8,
+        num_layers=1, weight_init="schlichtkrull-normal", bias_init="zeros",
+    )
+    batch = jnp.asarray(triples[:16])
+    params = model.init({"params": jax.random.key(0)}, edges, batch)
+    srv = LinkPredictionServer(model, params, edges, max_batch=8)
+
+    want, _pen = model.apply(params, edges, batch)
+    got = srv.score(np.asarray(batch))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+    z_direct = model.apply(params, edges, method=model.encode)
+    np.testing.assert_allclose(
+        np.asarray(srv.z), np.asarray(z_direct), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_nc_server_matches_forward():
     rng = np.random.default_rng(3)
     n, r = 40, 4
