@@ -241,7 +241,9 @@ def load_lp_server(
                                tile_size=tile_size),
         init_pos,
     )
-    restored, _step = restore_checkpoint(checkpoint_dir, {"params": params})
+    restored, _step = restore_checkpoint(
+        checkpoint_dir, {"params": params}, partial=True
+    )
     if restored is None:
         return None
 

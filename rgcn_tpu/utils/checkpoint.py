@@ -51,8 +51,17 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(ckpt_dir: str, like: Any, step: Optional[int] = None):
+def restore_checkpoint(
+    ckpt_dir: str,
+    like: Any,
+    step: Optional[int] = None,
+    partial: bool = False,
+):
     """Restore into the structure of ``like`` (a template pytree).
+
+    ``partial=True`` restores only the top-level entries present in
+    ``like`` — e.g. serving loads ``{"params"}`` from a training
+    checkpoint that also holds ``opt_state``.
 
     Returns ``(state, step)`` or ``(None, None)`` when nothing exists.
     """
@@ -67,12 +76,29 @@ def restore_checkpoint(ckpt_dir: str, like: Any, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(orbax_path, item=like), step
+        if not partial:
+            return ckptr.restore(orbax_path, item=like), step
+        try:
+            return (
+                ckptr.restore(orbax_path, item=like, partial_restore=True),
+                step,
+            )
+        except TypeError:  # older orbax without partial_restore
+            from flax import serialization
+
+            raw = ckptr.restore(orbax_path)  # template-free full tree
+            sub = {k: raw[k] for k in like} if isinstance(like, dict) else raw
+            return serialization.from_state_dict(like, sub), step
 
     fallback = os.path.join(path, _FALLBACK_NAME)
     if os.path.exists(fallback):
         from flax import serialization
 
         with open(fallback, "rb") as f:
-            return serialization.from_bytes(like, f.read()), step
+            payload = f.read()
+        if not partial:
+            return serialization.from_bytes(like, payload), step
+        raw = serialization.msgpack_restore(payload)
+        sub = {k: raw[k] for k in like} if isinstance(like, dict) else raw
+        return serialization.from_state_dict(like, sub), step
     return None, None

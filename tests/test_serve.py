@@ -151,7 +151,14 @@ def test_load_lp_server_checkpoint_roundtrip(tmp_path):
         build_edge_set_dynamic(init_pos, n, r, tile_size=16),
         init_pos,
     )
-    save_checkpoint(str(tmp_path), {"params": params}, step=7)
+    # a REAL training checkpoint also carries opt_state — serving must
+    # partial-restore just the params out of it
+    import optax
+
+    opt_state = optax.adam(1e-2).init(params)
+    save_checkpoint(
+        str(tmp_path), {"params": params, "opt_state": opt_state}, step=7
+    )
 
     srv = load_lp_server(cfg, data, str(tmp_path), tile_size=16)
     assert srv is not None
