@@ -109,7 +109,7 @@ def main():
         )
         return jax.tree.map(jnp.asarray, m)
 
-    def _merged_op(rb, ch):
+    def _merged_op(rb, ch, input_fusion=False):
         # returns a THUNK so layouts build only for variants that survive
         # the --only filter (each build + device upload costs seconds)
         def make():
@@ -121,7 +121,8 @@ def main():
                 w_arr, m = wv
                 return (
                     rel_spmm_basis_merged_ad(m, x, bases, comps,
-                                             compute_dtype=jnp.bfloat16)
+                                             compute_dtype=jnp.bfloat16,
+                                             input_fusion=input_fusion)
                     + x @ w_arr[-1].astype(jnp.bfloat16)
                 )
 
@@ -160,6 +161,12 @@ def main():
         "basis-merged-bf16": _merged_op(128, 256),
         "basis-merged-bf16-ch128": _merged_op(128, 128),
         "basis-merged-bf16-rb256": _merged_op(256, 256),
+        # gather fused into the kernel input pipeline (no (L, d) HBM
+        # materialization) via mosaic allow_input_fusion
+        "basis-merged-bf16-infuse": _merged_op(128, 256, input_fusion=True),
+        "basis-merged-bf16-ch128-infuse": _merged_op(
+            128, 128, input_fusion=True
+        ),
         "basis-merged-bf16-ch64": _merged_op(128, 64),
         "basis-merged-bf16-rb64ch128": _merged_op(64, 128),
         "basis-merged-bf16-rb64ch64": _merged_op(64, 64),

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--tile-size", type=int, default=128)
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler device trace here")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save/resume params+optimizer state here "
+                         "(per-repeat subdirs when repeats > 1)")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="save cadence in epochs (default: 10)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -90,7 +95,9 @@ def main():
     from rgcn_tpu.utils.profiling import trace
 
     with trace(args.profile_dir, enabled=args.profile_dir is not None):
-        run_repeats(cfg, data, logger=logger, tile_size=args.tile_size)
+        run_repeats(cfg, data, logger=logger, tile_size=args.tile_size,
+                    checkpoint_dir=args.checkpoint_dir,
+                    checkpoint_every=args.checkpoint_every)
 
 
 if __name__ == "__main__":

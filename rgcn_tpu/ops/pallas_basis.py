@@ -60,6 +60,7 @@ def weighted_aggregate_pallas(
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     out_dtype: jnp.dtype = jnp.float32,
     interpret: Optional[bool] = None,
+    input_fusion: bool = False,
 ) -> jax.Array:
     """``Agg[b, s] = Σ_{slot: dst=s} weights[b, slot] · xg_sorted[(b,) slot]``.
 
@@ -69,6 +70,12 @@ def weighted_aggregate_pallas(
     ``out_dtype=bfloat16`` halves the aggregate's HBM write and the
     consumer's read; chunk partials still accumulate in f32 (a VMEM
     scratch), cast only on the closing chunk of each row block.
+
+    ``input_fusion=True`` marks the sorted-rows input as fusible
+    (``mosaic.allow_input_fusion``): XLA then computes the producer —
+    the source-row GATHER — inside the kernel's input pipeline instead
+    of materializing the ``(L, din)`` tensor in HBM first, removing one
+    full write+read of the gathered rows.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -148,9 +155,18 @@ def weighted_aggregate_pallas(
             def _():
                 out_ref[:] = acc[:].astype(out_ref.dtype)
 
+    compiler_params = None
+    if input_fusion and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential accumulation
+            # inputs: [local, w, xg] (the scalar-prefetch arg is separate)
+            allow_input_fusion=[False, False, True],
+        )
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params,
         out_shape=jax.ShapeDtypeStruct(
             (n_out, layout.num_row_blocks * rb, din), out_dtype
         ),
@@ -319,7 +335,7 @@ def _merged_wvec(coeff, comps):
     )
 
 
-def _basis_merged_fwd_impl(x, params, merged, compute_dtype):
+def _basis_merged_fwd_impl(x, params, merged, compute_dtype, input_fusion):
     bases, comps = params
     wvec = _merged_wvec(merged.coeff, comps)
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
@@ -328,22 +344,28 @@ def _basis_merged_fwd_impl(x, params, merged, compute_dtype):
         xg, wvec, merged.layout, merged.num_nodes,
         compute_dtype=compute_dtype,
         out_dtype=(compute_dtype or jnp.float32),
+        input_fusion=input_fusion,
     )  # (nb, N, din)
     out = jnp.einsum("bni,bio->no", agg, bases)
     return out, agg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _basis_merged_core(x, params, merged, compute_dtype):
-    return _basis_merged_fwd_impl(x, params, merged, compute_dtype)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _basis_merged_core(x, params, merged, compute_dtype,
+                       input_fusion=False):
+    return _basis_merged_fwd_impl(
+        x, params, merged, compute_dtype, input_fusion
+    )[0]
 
 
-def _basis_merged_fwd(x, params, merged, compute_dtype):
-    out, agg = _basis_merged_fwd_impl(x, params, merged, compute_dtype)
+def _basis_merged_fwd(x, params, merged, compute_dtype, input_fusion):
+    out, agg = _basis_merged_fwd_impl(
+        x, params, merged, compute_dtype, input_fusion
+    )
     return out, (x, params, merged, agg)
 
 
-def _basis_merged_bwd(compute_dtype, res, g):
+def _basis_merged_bwd(compute_dtype, input_fusion, res, g):
     x, (bases, comps), merged, agg = res
 
     dbases = jnp.einsum("bni,no->bio", agg, g).astype(bases.dtype)
@@ -361,6 +383,7 @@ def _basis_merged_bwd(compute_dtype, res, g):
         jnp.swapaxes(Gg, 0, 1), rwvec, merged.rev_layout, merged.num_nodes,
         sum_bases=True, compute_dtype=compute_dtype,
         out_dtype=(compute_dtype or jnp.float32),
+        input_fusion=input_fusion,
     )[0]
 
     # dcomps[r, b] = Σ_slots coeff[l, r] · <x[receiver_l], G_b[source_l]>,
@@ -381,15 +404,22 @@ _basis_merged_core.defvjp(_basis_merged_fwd, _basis_merged_bwd)
 
 
 def rel_spmm_basis_merged_ad(merged, x: jax.Array, bases, comps,
-                             compute_dtype=jnp.bfloat16):
+                             compute_dtype=jnp.bfloat16,
+                             input_fusion: bool = False):
     """Differentiable aggregation-first basis SpMM over coalesced pairs.
 
     ``merged`` is a :class:`rgcn_tpu.graph.coalesce.MergedPairLayout` built
     from the same augmented edges an :class:`EdgeSet` would carry; the
     result equals :func:`rel_spmm_basis_ad` on the unmerged edges (same
     math, reassociated sums — allclose at f32, tests/test_coalesce.py).
+
+    ``input_fusion`` fuses the source-row gather into the kernel's input
+    pipeline (no HBM materialization of the gathered rows) — see
+    :func:`weighted_aggregate_pallas`.
     """
-    return _basis_merged_core(x, (bases, comps), merged, compute_dtype)
+    return _basis_merged_core(
+        x, (bases, comps), merged, compute_dtype, input_fusion
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ __all__ = [
     "LinkPredictionServer",
     "NodeClassificationServer",
     "load_lp_server",
+    "load_nc_server",
 ]
 
 
@@ -259,3 +260,53 @@ def load_lp_server(
     return LinkPredictionServer(
         model, restored["params"], edges, max_batch=max_batch
     )
+
+
+def load_nc_server(
+    cfg,
+    data,
+    checkpoint_dir: str,
+    tile_size: int = 128,
+) -> Optional[NodeClassificationServer]:
+    """Build a node-classification endpoint from a training checkpoint.
+
+    Mirrors :func:`load_lp_server` for
+    :class:`~rgcn_tpu.config.NodeClassificationExperiment` configs; a
+    ``repeat_1`` subdirectory (multi-repeat training runs) is used
+    automatically when the given directory holds no checkpoint itself.
+    """
+    import os
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.graph.coalesce import merge_applicable
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.train.node_classification import build_nc_model
+    from rgcn_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+    if not hasattr(cfg, "rgcn"):
+        cfg = load_experiment(cfg)
+    if latest_step(checkpoint_dir) is None and latest_step(
+        os.path.join(checkpoint_dir, "repeat_1")
+    ) is not None:
+        checkpoint_dir = os.path.join(checkpoint_dir, "repeat_1")
+
+    rg = cfg.rgcn
+    decomp = rg.decomposition
+    merge = merge_applicable(
+        2 * data.num_relations,
+        decomposition=decomp.type if decomp else None,
+        num_bases=decomp.num_bases if decomp else 0,
+        diag=rg.model == "e-rgcn",
+    )
+    edges = build_edge_set(
+        data.triples, data.num_nodes, data.num_relations,
+        tile_size=tile_size, with_dst_layout=True, with_merged_layout=merge,
+    )
+    model = build_nc_model(cfg, data)
+    params = model.init(jax.random.key(0), edges)
+    restored, _step = restore_checkpoint(
+        checkpoint_dir, {"params": params}, partial=True
+    )
+    if restored is None:
+        return None
+    return NodeClassificationServer(model, restored["params"], edges)

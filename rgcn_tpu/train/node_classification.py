@@ -62,6 +62,8 @@ def train_node_classifier(
     logger: Optional[ScalarLogger] = None,
     tile_size: int = 128,
     log_suffix: str = "",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
 ) -> float:
     """Train one model; returns final test accuracy (percent)."""
     logger = logger or ScalarLogger()
@@ -128,8 +130,21 @@ def train_node_classifier(
     def predict(params, edges):
         return jnp.argmax(model.apply(params, edges), axis=-1)
 
+    start_epoch = 1
+    if checkpoint_dir:
+        from rgcn_tpu.utils.checkpoint import restore_checkpoint
+
+        restored, ck_step = restore_checkpoint(
+            checkpoint_dir, {"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = ck_step + 1
+            logger.info(f"resumed from checkpoint at epoch {ck_step}")
+
     epochs = cfg.training.epochs
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         params, opt_state, loss = step(params, opt_state, edges)
         loss = float(loss)
@@ -149,6 +164,24 @@ def train_node_classifier(
             f"Test Accuracy: {test_acc:.2f}"
         )
 
+        if checkpoint_dir and epoch % (checkpoint_every or 10) == 0:
+            from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state},
+                epoch,
+            )
+
+    if checkpoint_dir:
+        from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_dir,
+            {"params": params, "opt_state": opt_state},
+            epochs,
+        )
+
     pred = np.asarray(predict(params, edges))
     test_acc = accuracy(pred[test_idx_np], test_lbl_np)
     logger.log_scalar(f"test.accuracy{log_suffix}", test_acc)
@@ -161,16 +194,26 @@ def run_repeats(
     data: NodeClassificationData,
     logger: Optional[ScalarLogger] = None,
     tile_size: int = 128,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
 ) -> Tuple[float, float]:
     """Repeat training and report mean ± standard error
     (``classify_nodes.py:159-178``)."""
+    import os
+
     logger = logger or ScalarLogger()
     accs = []
     for i in range(1, cfg.repeats + 1):
+        ck = (
+            os.path.join(checkpoint_dir, f"repeat_{i}")
+            if checkpoint_dir and cfg.repeats > 1
+            else checkpoint_dir
+        )
         accs.append(
             train_node_classifier(
                 cfg, data, seed=i, logger=logger, tile_size=tile_size,
-                log_suffix=f"_{i}",
+                log_suffix=f"_{i}", checkpoint_dir=ck,
+                checkpoint_every=checkpoint_every,
             )
         )
     avg = sum(accs) / len(accs)

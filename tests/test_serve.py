@@ -128,6 +128,37 @@ def test_nc_server_matches_forward():
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-6)
 
 
+def test_load_nc_server_checkpoint_roundtrip(tmp_path):
+    """NC training checkpoints (incl. multi-repeat subdirs) serve
+    identically to in-memory params."""
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.serve import load_nc_server
+    from rgcn_tpu.train.node_classification import build_nc_model
+    from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = load_experiment("configs/e-rgcn/nc-AIFB.yaml")
+    data = synthetic_node_classification(
+        num_nodes=50, num_rels=6, num_edges=250, seed=5
+    )
+    edges = build_edge_set(
+        data.triples, data.num_nodes, data.num_relations, tile_size=16,
+        with_dst_layout=True,
+    )
+    model = build_nc_model(cfg, data)
+    params = model.init(jax.random.key(0), edges)
+    # multi-repeat layout: checkpoint lives under repeat_1/
+    save_checkpoint(str(tmp_path / "repeat_1"), {"params": params}, step=3)
+
+    srv = load_nc_server(cfg, data, str(tmp_path), tile_size=16)
+    assert srv is not None
+    want = np.argmax(np.asarray(model.apply(params, edges)), axis=-1)
+    got = srv.classify(np.arange(data.num_nodes))
+    np.testing.assert_array_equal(got, want)
+
+    assert load_nc_server(cfg, data, str(tmp_path / "missing")) is None
+
+
 def test_load_lp_server_checkpoint_roundtrip(tmp_path):
     """Checkpointed training params serve identically to in-memory ones."""
     from rgcn_tpu.config import load_experiment
