@@ -166,16 +166,28 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
             return op, w_val
 
         # two measurement passes per layout on one compiled program each
-        # (passes=2) — guards against the tunnel's transient contention
-        # windows without paying extra remote compiles
+        # (passes=2) guard against transient contention windows; the op is
+        # sub-millisecond, so short chains put the estimator inside RPC
+        # jitter (a 20-iter chain once measured NEGATIVE) — use >= 60
+        # chained iterations and treat non-positive estimates as failures
+        # (the auto ladder falls back loudly).
+        m_iters = max(iters, 60)
         best = None
         for ch in (256, 128):
             op_ch, w_ch = _variant(ch)
-            dt_ch = _chained_time(op_ch, x, w_ch, iters, passes=2)
+            dt_ch = _chained_time(op_ch, x, w_ch, m_iters, passes=2)
             print(f"bench merged ch={ch}: {dt_ch * 1e3:.3f} ms/op",
                   file=sys.stderr)
+            if dt_ch <= 0:
+                print(f"bench merged ch={ch}: non-positive estimate, "
+                      "ignoring", file=sys.stderr)
+                continue
             if best is None or dt_ch < best:
                 best = dt_ch
+        if best is None:
+            raise RuntimeError(
+                "merged bench produced no positive timing estimate"
+            )
         edges_aug = es.num_edges + num_nodes
         return edges_aug / best, best, edges_aug
 

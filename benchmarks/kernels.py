@@ -32,7 +32,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--iters", type=int, default=20)
+    # >= 60 chained iterations: sub-ms ops under-measure on shorter
+    # chains (estimator inside RPC jitter — see CLAUDE.md)
+    ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 

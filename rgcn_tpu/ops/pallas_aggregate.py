@@ -207,13 +207,20 @@ def aggregate_presorted_pallas(
     *,
     out_dtype: jnp.dtype = jnp.float32,
     interpret: Optional[bool] = None,
+    input_fusion: bool = False,
 ) -> jax.Array:
     """Aggregate *already destination-sorted* messages ``(L, dout)``.
 
     For message computations cheap enough to evaluate per layout slot
     (diag, basis contractions), computing them directly in sorted order
     skips the edge-order materialization + permutation round-trip that
-    :func:`aggregate_sorted_pallas` pays."""
+    :func:`aggregate_sorted_pallas` pays.
+
+    ``input_fusion=True`` permits XLA to compute the message producer
+    (gathers/elementwise) inside the kernel's input pipeline instead of
+    materializing ``(L, dout)`` in HBM (``mosaic.allow_input_fusion``;
+    bit-identical on hardware, see
+    :func:`rgcn_tpu.ops.pallas_basis.weighted_aggregate_pallas`)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     dout = msgs_sorted.shape[-1]
@@ -237,9 +244,17 @@ def aggregate_presorted_pallas(
         ),
     )
 
+    compiler_params = None
+    if input_fusion and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential accumulation
+            allow_input_fusion=[False, True],  # [local, msgs]
+        )
+
     out = pl.pallas_call(
         _agg_kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params,
         out_shape=jax.ShapeDtypeStruct(
             (layout.num_row_blocks * rb, dout), out_dtype
         ),

@@ -227,7 +227,7 @@ def _basis_fwd_impl(x, params, edges, compute_dtype):
     xg = xc[src_sorted]  # (L, din) — the one gather
     agg = weighted_aggregate_pallas(
         xg, wvec, edges.layout, edges.num_nodes, compute_dtype=compute_dtype,
-        out_dtype=(compute_dtype or jnp.float32),
+        out_dtype=(compute_dtype or jnp.float32), input_fusion=True,
     )  # (nb, N, din)
     out = jnp.einsum("bni,bio->no", agg, bases)
     return out, agg
@@ -263,7 +263,7 @@ def _basis_ad_bwd(compute_dtype, res, g):
     dx = weighted_aggregate_pallas(
         jnp.swapaxes(Gg, 0, 1), rwvec, rev.layout, num_nodes,
         sum_bases=True, compute_dtype=compute_dtype,
-        out_dtype=(compute_dtype or jnp.float32),
+        out_dtype=(compute_dtype or jnp.float32), input_fusion=True,
     )[0]
 
     # d comps[r, b] = Σ_{e ∈ r} val_e · <x[src_e], G_b[dst_e]>, computed in
@@ -300,7 +300,7 @@ def rel_spmm_basis_ad(edges: EdgeSet, x: jax.Array, bases, comps,
     """
     if getattr(edges, "merged", None) is not None:
         return _basis_merged_core(
-            x, (bases, comps), edges.merged, compute_dtype
+            x, (bases, comps), edges.merged, compute_dtype, True
         )
     if edges.layout is None or edges.reverse is None:
         raise ValueError(
@@ -405,7 +405,7 @@ _basis_merged_core.defvjp(_basis_merged_fwd, _basis_merged_bwd)
 
 def rel_spmm_basis_merged_ad(merged, x: jax.Array, bases, comps,
                              compute_dtype=jnp.bfloat16,
-                             input_fusion: bool = False):
+                             input_fusion: bool = True):
     """Differentiable aggregation-first basis SpMM over coalesced pairs.
 
     ``merged`` is a :class:`rgcn_tpu.graph.coalesce.MergedPairLayout` built

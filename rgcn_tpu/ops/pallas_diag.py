@@ -65,7 +65,11 @@ def _diag_sorted_agg(x, dw, edges, compute_dtype):
         dw = dw.astype(compute_dtype)
         val_s = val_s.astype(compute_dtype)
     msgs = x[src_s] * _lookup_rows(dw, rel_s) * val_s[:, None]
-    return aggregate_presorted_pallas(msgs, edges.layout, edges.num_nodes)
+    # input_fusion: gather + products compute in the kernel's input
+    # pipeline — the (L, d) message tensor never lands in HBM
+    return aggregate_presorted_pallas(
+        msgs, edges.layout, edges.num_nodes, input_fusion=True
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -119,7 +123,11 @@ def _diag_merged_agg(rows, dvec, layout, num_nodes, compute_dtype):
     if compute_dtype is not None:
         rows = rows.astype(compute_dtype)
         dvec = dvec.astype(compute_dtype)
-    return aggregate_presorted_pallas(rows * dvec, layout, num_nodes)
+    # input_fusion: the gather + elementwise product compute inside the
+    # kernel's input pipeline — no (L, d) message tensor in HBM
+    return aggregate_presorted_pallas(
+        rows * dvec, layout, num_nodes, input_fusion=True
+    )
 
 
 def _diag_merged_impl(x, dw, merged, compute_dtype):

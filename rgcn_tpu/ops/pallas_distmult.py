@@ -102,7 +102,11 @@ def _rows_to_nodes(rows, lay: DstLayout, num_nodes: int):
         [rows, jnp.zeros((1, rows.shape[-1]), rows.dtype)], axis=0
     )
     sorted_rows = rows_z[jnp.asarray(lay.perm)]
-    return aggregate_presorted_pallas(sorted_rows, lay, num_nodes)
+    # input_fusion: the permutation gather computes inside the kernel's
+    # input pipeline — no (L, d) HBM materialization of the sorted rows
+    return aggregate_presorted_pallas(
+        sorted_rows, lay, num_nodes, input_fusion=True
+    )
 
 
 def _agg_bwd(res, g):
