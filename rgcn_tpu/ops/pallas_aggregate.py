@@ -292,9 +292,11 @@ def aggregate_sorted_pallas(
         [messages, jnp.zeros((1, dout), messages.dtype)], axis=0
     )
     msgs_sorted = msgs_z[layout.perm]  # (L, dout) destination-sorted
+    # input_fusion: the permutation gather computes inside the kernel's
+    # input pipeline — skips one (L, dout) HBM round trip
     return aggregate_presorted_pallas(
         msgs_sorted, layout, num_nodes,
-        out_dtype=out_dtype, interpret=interpret,
+        out_dtype=out_dtype, interpret=interpret, input_fusion=True,
     )
 
 
