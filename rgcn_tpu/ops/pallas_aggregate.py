@@ -292,11 +292,17 @@ def aggregate_sorted_pallas(
         [messages, jnp.zeros((1, dout), messages.dtype)], axis=0
     )
     msgs_sorted = msgs_z[layout.perm]  # (L, dout) destination-sorted
-    # input_fusion: the permutation gather computes inside the kernel's
-    # input pipeline — skips one (L, dout) HBM round trip
+    # NO input_fusion here: fusing this permutation gather MEASURED ~2x
+    # SLOWER for the v1/block pipelines (dense-pallas-v1 5.65 ms vs ~2.7,
+    # block-expanded likewise — benchmarks/kernels.py, round 3). The
+    # producer is a permutation of an already-materialized message tensor;
+    # serializing it into the input pipeline loses more overlap than the
+    # skipped HBM round trip saves. The basis/diag/decoder paths, whose
+    # producers are *source gathers* of small node tables, measure faster
+    # fused — fusion stays their default, not this one's.
     return aggregate_presorted_pallas(
         msgs_sorted, layout, num_nodes,
-        out_dtype=out_dtype, interpret=interpret, input_fusion=True,
+        out_dtype=out_dtype, interpret=interpret,
     )
 
 

@@ -102,11 +102,11 @@ def _rows_to_nodes(rows, lay: DstLayout, num_nodes: int):
         [rows, jnp.zeros((1, rows.shape[-1]), rows.dtype)], axis=0
     )
     sorted_rows = rows_z[jnp.asarray(lay.perm)]
-    # input_fusion: the permutation gather computes inside the kernel's
-    # input pipeline — no (L, d) HBM materialization of the sorted rows
-    return aggregate_presorted_pallas(
-        sorted_rows, lay, num_nodes, input_fusion=True
-    )
+    # no input_fusion: this producer is a PERMUTATION of materialized
+    # rows, the class that measured ~2x slower fused (see
+    # pallas_aggregate.aggregate_sorted_pallas); only source-gather
+    # producers fuse profitably
+    return aggregate_presorted_pallas(sorted_rows, lay, num_nodes)
 
 
 def _agg_bwd(res, g):
