@@ -163,6 +163,9 @@ def main():
         "basis-merged-bf16": _merged_op(128, 256),
         "basis-merged-bf16-ch128": _merged_op(128, 128),
         "basis-merged-bf16-rb256": _merged_op(256, 256),
+        "basis-merged-bf16-rb256-infuse": _merged_op(
+            256, 256, input_fusion=True
+        ),
         # gather fused into the kernel input pipeline (no (L, d) HBM
         # materialization) via mosaic allow_input_fusion
         "basis-merged-bf16-infuse": _merged_op(128, 256, input_fusion=True),
