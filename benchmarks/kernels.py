@@ -153,6 +153,11 @@ def main():
                            compute_dtype=jnp.bfloat16)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
+        "dense-fused-infuse": lambda x, w: (
+            rel_spmm_fused(fl, num_nodes, x, w[:-1],
+                           compute_dtype=jnp.bfloat16, input_fusion=True)
+            + x @ w[-1].astype(jnp.bfloat16)
+        ),
         "basis-bf16": lambda x, w: (
             rel_spmm_basis_ad(es128, x, bases, comps,
                               compute_dtype=jnp.bfloat16)

@@ -360,10 +360,16 @@ def rel_spmm_fused(
     *,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     interpret: Optional[bool] = None,
+    input_fusion: bool = True,
 ) -> jax.Array:
     """Forward relational SpMM via the fused kernel.
 
     ``weights`` (num_rels, din, dout) must fit VMEM in ``compute_dtype``.
+
+    ``input_fusion`` (default on): XLA computes the source gather inside
+    the kernel's input pipeline (``mosaic.allow_input_fusion``) — same
+    source-gather fusion as the basis path; measured 2.09 -> 1.82 ms
+    same-process at WN18 scale (``benchmarks/kernels.py``).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -411,9 +417,18 @@ def rel_spmm_fused(
         ],
     )
 
+    compiler_params = None
+    if input_fusion and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # inputs after the 2 scalar-prefetch args: [local, xg, val, w]
+            allow_input_fusion=[False, True, False, False],
+        )
+
     out = pl.pallas_call(
         _make_fused_kernel(layout.quantum),
         grid_spec=grid_spec,
+        compiler_params=compiler_params,
         out_shape=jax.ShapeDtypeStruct(
             (layout.num_row_blocks * rb, dout), jnp.float32
         ),
