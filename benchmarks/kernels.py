@@ -148,6 +148,12 @@ def main():
                                  compute_dtype=jnp.bfloat16)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
+        "dense-pallas-v1-infuse": lambda x, w: (
+            rel_spmm_pallas_full(es, es.layout, x, w[:-1],
+                                 compute_dtype=jnp.bfloat16,
+                                 input_fusion=True)
+            + x @ w[-1].astype(jnp.bfloat16)
+        ),
         "dense-fused": lambda x, w: (
             rel_spmm_fused(fl, num_nodes, x, w[:-1],
                            compute_dtype=jnp.bfloat16)

@@ -74,6 +74,7 @@ def rel_spmm_messages(
     *,
     out_dtype: Optional[jnp.dtype] = None,
     interpret: Optional[bool] = None,
+    input_fusion: bool = False,
 ) -> jax.Array:
     """Fused (gathered-features × per-relation weight × normalization).
 
@@ -82,6 +83,8 @@ def rel_spmm_messages(
       x: node features ``(N, din)``; the source gather itself stays in XLA
          (a hardware-native dynamic-gather).
       weights: ``(num_rels, din, dout)`` general-relation weights.
+      input_fusion: permit XLA to compute the source gather in the
+        kernel's input pipeline (``mosaic.allow_input_fusion``).
 
     Returns messages ``(E_pad, dout)`` ready for destination aggregation.
     """
@@ -118,9 +121,17 @@ def rel_spmm_messages(
         ),
     )
 
+    compiler_params = None
+    if input_fusion and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            allow_input_fusion=[True, False, False],  # [xg, w, val]
+        )
+
     msgs = pl.pallas_call(
         _msgs_kernel,
         grid_spec=grid_spec,
+        compiler_params=compiler_params,
         out_shape=jax.ShapeDtypeStruct((n_tiles, tile, dout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * din * dout,
@@ -171,6 +182,7 @@ def rel_spmm_pallas_full(
     compute_dtype: Optional[jnp.dtype] = None,
     accum_dtype: jnp.dtype = jnp.float32,
     interpret: Optional[bool] = None,
+    input_fusion: bool = False,
 ) -> jax.Array:
     """Fully Pallas relational SpMM: fused message kernel + MXU one-hot
     destination aggregation (:mod:`rgcn_tpu.ops.pallas_aggregate`), avoiding
@@ -187,7 +199,8 @@ def rel_spmm_pallas_full(
         weights = weights.astype(compute_dtype)
     msg_dtype = compute_dtype if compute_dtype is not None else accum_dtype
     msgs = rel_spmm_messages(
-        edges, x, weights, out_dtype=msg_dtype, interpret=interpret
+        edges, x, weights, out_dtype=msg_dtype, interpret=interpret,
+        input_fusion=input_fusion,
     )
     return aggregate_sorted_pallas(
         msgs, layout, edges.num_nodes,
