@@ -93,10 +93,12 @@ def _chained_time(op, x, w, iters, reps=3, passes=1):
     k0, k1 = 2, 2 + iters
     # `passes` repeats the whole estimate on the SAME compiled program
     # (compile happens once, inside the first measure) — guards against
-    # transient contention windows on shared backends
-    return min(
-        (measure(k1) - measure(k0)) / iters for _ in range(passes)
-    )
+    # transient contention windows on shared backends. Jitter can corrupt
+    # a single pass into a non-positive difference; keep the min over the
+    # POSITIVE estimates so one bad pass doesn't discard a good one.
+    estimates = [(measure(k1) - measure(k0)) / iters for _ in range(passes)]
+    positive = [e for e in estimates if e > 0]
+    return min(positive) if positive else min(estimates)
 
 
 def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,

@@ -111,7 +111,7 @@ def main():
         )
         return jax.tree.map(jnp.asarray, m)
 
-    def _merged_op(rb, ch, input_fusion=False):
+    def _merged_op(rb, ch, input_fusion=True):  # fused = production default
         # returns a THUNK so layouts build only for variants that survive
         # the --only filter (each build + device upload costs seconds)
         def make():
@@ -159,9 +159,9 @@ def main():
                            compute_dtype=jnp.bfloat16)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
-        "dense-fused-infuse": lambda x, w: (
+        "dense-fused-nofuse": lambda x, w: (
             rel_spmm_fused(fl, num_nodes, x, w[:-1],
-                           compute_dtype=jnp.bfloat16, input_fusion=True)
+                           compute_dtype=jnp.bfloat16, input_fusion=False)
             + x @ w[-1].astype(jnp.bfloat16)
         ),
         "basis-bf16": lambda x, w: (
@@ -170,18 +170,19 @@ def main():
             + x @ w[-1].astype(jnp.bfloat16)
         ),
         # coalesced-pair layouts (graph/coalesce.py) at several
-        # (row_block, chunk) points — the headline path
+        # (row_block, chunk) points — the headline path. Unsuffixed
+        # entries measure the PRODUCTION configuration (gather
+        # input-fusion on, like the library defaults and bench.py);
+        # '-nofuse' variants isolate the fusion contribution.
         "basis-merged-bf16": _merged_op(128, 256),
         "basis-merged-bf16-ch128": _merged_op(128, 128),
         "basis-merged-bf16-rb256": _merged_op(256, 256),
-        "basis-merged-bf16-rb256-infuse": _merged_op(
-            256, 256, input_fusion=True
+        "basis-merged-bf16-nofuse": _merged_op(128, 256, input_fusion=False),
+        "basis-merged-bf16-ch128-nofuse": _merged_op(
+            128, 128, input_fusion=False
         ),
-        # gather fused into the kernel input pipeline (no (L, d) HBM
-        # materialization) via mosaic allow_input_fusion
-        "basis-merged-bf16-infuse": _merged_op(128, 256, input_fusion=True),
-        "basis-merged-bf16-ch128-infuse": _merged_op(
-            128, 128, input_fusion=True
+        "basis-merged-bf16-rb256-nofuse": _merged_op(
+            256, 256, input_fusion=False
         ),
         "basis-merged-bf16-ch64": _merged_op(128, 64),
         "basis-merged-bf16-rb64ch128": _merged_op(64, 128),

@@ -70,26 +70,9 @@ def main():
     if args.repeats is not None:
         cfg = dataclasses.replace(cfg, repeats=args.repeats)
 
-    if args.synthetic:
-        from rgcn_tpu.data.synthetic import aifb_like, synthetic_node_classification
+    from rgcn_tpu.data.dispatch import load_nc_data
 
-        if cfg.dataset.name.lower() == "aifb":
-            data = aifb_like()
-        else:
-            data = synthetic_node_classification(seed=0)
-        print(
-            f"[synthetic] {cfg.dataset.name}-like graph: "
-            f"N={data.num_nodes} R={data.num_relations} E={len(data.triples)}"
-        )
-    else:
-        from rgcn_tpu.data.loaders import load_node_classification
-
-        data = load_node_classification(
-            cfg.dataset.name,
-            final_run=cfg.evaluation.final_run,
-            prune=cfg.dataset.prune,
-            data_root=args.data_root,
-        )
+    data = load_nc_data(cfg, args.synthetic, data_root=args.data_root)
 
     logger = ScalarLogger(run_dir=args.run_dir, name="node_class")
     from rgcn_tpu.utils.profiling import trace

@@ -74,32 +74,9 @@ def main():
     if not isinstance(cfg, LinkPredictionExperiment):
         ap.error(f"{args.config} is not a link-prediction config")
 
-    if args.synthetic:
-        from rgcn_tpu.data.synthetic import (
-            fb_toy_like,
-            synthetic_link_prediction,
-            wn18_like,
-        )
+    from rgcn_tpu.data.dispatch import load_lp_data
 
-        name = cfg.dataset.name.lower()
-        if name == "wn18":
-            data = wn18_like()
-        elif name == "fb-toy":
-            data = fb_toy_like()
-        else:
-            data = synthetic_link_prediction(seed=0)
-        print(
-            f"[synthetic] {cfg.dataset.name}-like graph: "
-            f"N={data.num_nodes} R={data.num_relations} E={len(data.train)}"
-        )
-    else:
-        from rgcn_tpu.data.loaders import load_link_prediction
-
-        data = load_link_prediction(
-            cfg.dataset.name,
-            final_run=cfg.evaluation.final_run,
-            data_root=args.data_root,
-        )
+    data = load_lp_data(cfg, args.synthetic, data_root=args.data_root)
 
     logger = ScalarLogger(run_dir=args.run_dir, name="link_pred")
     from rgcn_tpu.utils.profiling import trace

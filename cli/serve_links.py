@@ -64,27 +64,9 @@ def main():
     if not isinstance(cfg, LinkPredictionExperiment):
         ap.error(f"{args.config} is not a link-prediction config")
 
-    if args.synthetic:
-        from rgcn_tpu.data.synthetic import (
-            fb_toy_like,
-            synthetic_link_prediction,
-            wn18_like,
-        )
+    from rgcn_tpu.data.dispatch import load_lp_data
 
-        name = cfg.dataset.name.lower()
-        data = (
-            wn18_like() if name == "wn18"
-            else fb_toy_like() if name == "fb-toy"
-            else synthetic_link_prediction(seed=0)
-        )
-    else:
-        from rgcn_tpu.data.loaders import load_link_prediction
-
-        data = load_link_prediction(
-            cfg.dataset.name,
-            final_run=cfg.evaluation.final_run,
-            data_root=args.data_root,
-        )
+    data = load_lp_data(cfg, args.synthetic, data_root=args.data_root)
 
     srv = load_lp_server(
         cfg, data, args.checkpoint_dir, tile_size=args.tile_size,

@@ -53,24 +53,9 @@ def main():
     if not isinstance(cfg, NodeClassificationExperiment):
         ap.error(f"{args.config} is not a node-classification config")
 
-    if args.synthetic:
-        from rgcn_tpu.data.synthetic import (
-            aifb_like,
-            synthetic_node_classification,
-        )
+    from rgcn_tpu.data.dispatch import load_nc_data
 
-        name = cfg.dataset.name.lower()
-        data = aifb_like() if name == "aifb" else \
-            synthetic_node_classification(seed=0)
-    else:
-        from rgcn_tpu.data.loaders import load_node_classification
-
-        data = load_node_classification(
-            cfg.dataset.name,
-            final_run=cfg.evaluation.final_run,
-            prune=cfg.dataset.prune,
-            data_root=args.data_root,
-        )
+    data = load_nc_data(cfg, args.synthetic, data_root=args.data_root)
 
     srv = load_nc_server(cfg, data, args.checkpoint_dir,
                          tile_size=args.tile_size)

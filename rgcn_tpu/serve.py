@@ -58,26 +58,27 @@ class LinkPredictionServer:
         self._params = params
         self._edges = edges
         self.max_batch = int(max_batch)
-        encode = jax.jit(
+        # ONE jitted encode, reused by refresh() — a fresh jax.jit wrapper
+        # per call would re-trace and recompile the whole encoder (minutes
+        # on remote backends) at every hot swap
+        self._encode = jax.jit(
             lambda p, e: model.apply(p, e, method=model.encode)
         )
-        self.z = encode(params, edges)  # (N, d), device-resident
+        self.z = self._encode(params, edges)  # (N, d), device-resident
         self.num_nodes = int(self.z.shape[0])
 
-        # jitted per-bucket programs, compiled on first use; point scoring
-        # routes through the model's actual decoder (biases included)
+        # One jitted program per op; jit itself specializes per bucket
+        # shape, so buckets need no extra cache key. Point scoring routes
+        # through the model's actual decoder (biases included).
+        def _point(p, z, triples):
+            return model.apply(
+                p, method=lambda m: m.scoring_function(triples, z)
+            )
+
+        self._score_fn = jax.jit(_point)
+
         @functools.lru_cache(maxsize=32)
-        def _score_fn(bucket: int):
-            def point(p, z, triples):
-                return model.apply(
-                    p,
-                    method=lambda m: m.scoring_function(triples, z),
-                )
-
-            return jax.jit(point)
-
-        @functools.lru_cache(maxsize=64)
-        def _rank_fn(bucket: int, k: int, tails: bool):
+        def _rank_fn(k: int, tails: bool):
             method = "score_tails" if tails else "score_heads"
 
             def run(p, z, batch):
@@ -88,7 +89,6 @@ class LinkPredictionServer:
 
             return jax.jit(run)
 
-        self._score_fn = _score_fn
         self._rank_fn = _rank_fn
 
     # -- point scoring ----------------------------------------------------
@@ -97,7 +97,7 @@ class LinkPredictionServer:
         triples = np.asarray(triples)
         out = np.empty((len(triples),), np.float32)
         for lo, hi, padded in self._chunks(triples):
-            scores = self._score_fn(padded.shape[0])(
+            scores = self._score_fn(
                 self._params, self.z, jnp.asarray(padded)
             )
             out[lo:hi] = np.asarray(scores)[: hi - lo]
@@ -130,14 +130,13 @@ class LinkPredictionServer:
         return self._rank(queries, k, tails=False)
 
     def refresh(self, params=None, edges=None):
-        """Re-encode after a parameter and/or graph update (hot swap)."""
+        """Re-encode after a parameter and/or graph update (hot swap);
+        reuses the construction-time compiled encoder."""
         if params is not None:
             self._params = params
         if edges is not None:
             self._edges = edges
-        model = self._model
-        encode = jax.jit(lambda p, e: model.apply(p, e, method=model.encode))
-        self.z = encode(self._params, self._edges)
+        self.z = self._encode(self._params, self._edges)
 
     # -- internals --------------------------------------------------------
     def _chunks(self, arr: np.ndarray):
@@ -160,7 +159,7 @@ class LinkPredictionServer:
         scores = np.empty((len(queries), k), np.float32)
         ents = np.empty((len(queries), k), np.int32)
         for lo, hi, padded in self._chunks(queries):
-            s, e = self._rank_fn(padded.shape[0], k, tails)(
+            s, e = self._rank_fn(k, tails)(
                 self._params, self.z, jnp.asarray(padded)
             )
             scores[lo:hi] = np.asarray(s)[: hi - lo]
@@ -175,9 +174,8 @@ class NodeClassificationServer:
         self._model = model
         self._params = params
         self._edges = edges
-        self.logits = np.asarray(
-            jax.jit(lambda p, e: model.apply(p, e))(params, edges)
-        )
+        self._forward = jax.jit(lambda p, e: model.apply(p, e))
+        self.logits = np.asarray(self._forward(params, edges))
 
     def classify(self, nodes) -> np.ndarray:
         """Predicted class ids for the given node ids."""
@@ -191,11 +189,7 @@ class NodeClassificationServer:
     def refresh(self, params=None):
         if params is not None:
             self._params = params
-        self.logits = np.asarray(
-            jax.jit(lambda p, e: self._model.apply(p, e))(
-                self._params, self._edges
-            )
-        )
+        self.logits = np.asarray(self._forward(self._params, self._edges))
 
 
 def load_lp_server(

@@ -495,6 +495,19 @@ def train_link_predictor(
             )
 
     pool.shutdown(wait=False, cancel_futures=True)
+
+    # final-state checkpoint: epochs is rarely a multiple of the save
+    # cadence, and serving (cli/serve_links.py) loads the LATEST step —
+    # without this, up to ck_every-1 epochs of training silently served
+    # stale
+    if checkpoint_dir and epochs >= start_epoch:
+        from rgcn_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_dir, {"params": params, "opt_state": opt_state},
+            epochs,
+        )
+
     logger.info("Starting final evaluation...")
     mrr, hits, ranks = evaluate_link_predictor(
         model, params, eval_edges, test_np, filters,
