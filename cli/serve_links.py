@@ -25,10 +25,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _resolve(tok: str, vocab):
+def _resolve(tok: str, vocab, column: str = "entity"):
     if tok in vocab:
         return vocab[tok]
-    return int(tok)
+    try:
+        return int(tok)
+    except ValueError:
+        raise SystemExit(
+            f"error: {column} token {tok!r} is not in the dataset vocabulary "
+            f"and is not an integer id"
+        )
 
 
 def main():
@@ -37,6 +43,11 @@ def main():
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--queries", default=None, help="TSV query file")
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument(
+        "--filtered", action="store_true",
+        help="mask known-true training edges out of top-k rankings "
+             "(KG-completion mode)",
+    )
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -93,31 +104,38 @@ def main():
                 ap.error(f"bad query row (need 3 columns): {row}")
             s, p, o = row
             if s == "?":
-                heads.append((_resolve(p, data.r2i), _resolve(o, data.n2i)))
+                heads.append((_resolve(p, data.r2i, "relation"),
+                              _resolve(o, data.n2i, "entity")))
             elif o == "?":
-                tails.append((_resolve(s, data.n2i), _resolve(p, data.r2i)))
+                tails.append((_resolve(s, data.n2i, "entity"),
+                              _resolve(p, data.r2i, "relation")))
             else:
                 triples.append(
-                    (_resolve(s, data.n2i), _resolve(p, data.r2i),
-                     _resolve(o, data.n2i))
+                    (_resolve(s, data.n2i, "entity"),
+                     _resolve(p, data.r2i, "relation"),
+                     _resolve(o, data.n2i, "entity"))
                 )
         if triples:
             scores = srv.score(np.asarray(triples))
             for t, sc in zip(triples, scores):
                 print(f"score {t}: {sc:.4f}")
         if tails:
-            sc, en = srv.topk_tails(np.asarray(tails), k=args.topk)
+            sc, en = srv.topk_tails(
+                np.asarray(tails), k=args.topk, filtered=args.filtered
+            )
             for q, s_row, e_row in zip(tails, sc, en):
                 show_rank("tails", q, s_row, e_row)
         if heads:
-            sc, en = srv.topk_heads(np.asarray(heads), k=args.topk)
+            sc, en = srv.topk_heads(
+                np.asarray(heads), k=args.topk, filtered=args.filtered
+            )
             for q, s_row, e_row in zip(heads, sc, en):
                 show_rank("heads", q, s_row, e_row)
         return
 
     # no query file: demonstrate on the first test triples
     test = np.asarray(data.test)[:8]
-    sc, en = srv.topk_tails(test[:, :2], k=args.topk)
+    sc, en = srv.topk_tails(test[:, :2], k=args.topk, filtered=args.filtered)
     for q, s_row, e_row in zip(test[:, :2], sc, en):
         show_rank("tails", tuple(q), s_row, e_row)
 

@@ -53,11 +53,18 @@ class LinkPredictionServer:
     :func:`rgcn_tpu.graph.coalesce.merge_applicable`).
     """
 
-    def __init__(self, model, params, edges, max_batch: int = 1024):
+    def __init__(
+        self, model, params, edges, max_batch: int = 1024,
+        known_triples=None,
+    ):
         self._model = model
         self._params = params
         self._edges = edges
         self.max_batch = int(max_batch)
+        self._known_tails = None  # (s, p) -> [o] known-true tails
+        self._known_heads = None  # (p, o) -> [s] known-true heads
+        if known_triples is not None:
+            self.set_filters(known_triples)
         # ONE jitted encode, reused by refresh() — a fresh jax.jit wrapper
         # per call would re-trace and recompile the whole encoder (minutes
         # on remote backends) at every hot swap
@@ -77,17 +84,29 @@ class LinkPredictionServer:
 
         self._score_fn = jax.jit(_point)
 
-        @functools.lru_cache(maxsize=32)
-        def _rank_fn(k: int, tails: bool):
+        @functools.lru_cache(maxsize=64)
+        def _rank_fn(k: int, tails: bool, filter_width: int):
             method = "score_tails" if tails else "score_heads"
 
-            def run(p, z, batch):
+            def run(p, z, batch, filt=None):
                 scores = model.apply(
                     p, batch, z, method=getattr(model, method)
                 )  # (B, N)
+                if filt is not None:
+                    # Filtered KG-completion ranking: mask the candidates
+                    # already known true (reference eval semantics,
+                    # /root/reference/utils/misc.py:39-58) so the endpoint
+                    # recommends NEW edges. Pad index = num_nodes is out of
+                    # range for the (B, N) row and dropped by the scatter.
+                    rows = jnp.arange(scores.shape[0])[:, None]
+                    scores = scores.at[rows, filt].set(
+                        -jnp.inf, mode="drop"
+                    )
                 return jax.lax.top_k(scores, k)
 
-            return jax.jit(run)
+            if filter_width == 0:
+                return jax.jit(run)
+            return jax.jit(lambda p, z, batch, filt: run(p, z, batch, filt))
 
         self._rank_fn = _rank_fn
 
@@ -103,31 +122,59 @@ class LinkPredictionServer:
             out[lo:hi] = np.asarray(scores)[: hi - lo]
         return out
 
+    # -- filtered-ranking support ------------------------------------------
+    def set_filters(self, known_triples) -> None:
+        """Register the known-true triples used by ``filtered=True`` ranking
+        (typically the training graph, optionally all splits). Builds the
+        same ``(s, p) -> [o]`` / ``(p, o) -> [s]`` maps as the reference's
+        evaluation filter (``/root/reference/utils/misc.py:29-58``)."""
+        tails: dict = {}
+        heads: dict = {}
+        for s, p, o in np.asarray(known_triples):
+            tails.setdefault((int(s), int(p)), []).append(int(o))
+            heads.setdefault((int(p), int(o)), []).append(int(s))
+        self._known_tails = tails
+        self._known_heads = heads
+
+    def _filter_rows(self, queries: np.ndarray, tails: bool):
+        known = self._known_tails if tails else self._known_heads
+        if known is None:
+            raise ValueError(
+                "filtered=True requires known triples: construct the server "
+                "with known_triples=... or call set_filters() first"
+            )
+        if tails:
+            return [known.get((int(q[0]), int(q[1])), ()) for q in queries]
+        return [known.get((int(q[1]), int(q[2])), ()) for q in queries]
+
     # -- ranking ----------------------------------------------------------
     def topk_tails(
-        self, sp: np.ndarray, k: int = 10
+        self, sp: np.ndarray, k: int = 10, filtered: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-``k`` tail entities for ``(B, 2)`` `(s, p)` queries.
 
-        Returns ``(scores (B, k), entities (B, k))``, unfiltered (raw)
-        ranking — the serving analogue of
-        ``/root/reference/utils/misc.py:60-110``'s candidate sweep.
+        Returns ``(scores (B, k), entities (B, k))`` — the serving analogue
+        of ``/root/reference/utils/misc.py:60-110``'s candidate sweep.
+        ``filtered=True`` masks candidates already known true (the
+        registered triples) to ``-inf`` so the endpoint surfaces *new*
+        edges, matching the reference's filtered-setting semantics
+        (``misc.py:39-58``); the default is the raw ranking.
         """
         sp = np.asarray(sp)
         queries = np.stack(
             [sp[:, 0], sp[:, 1], np.zeros(len(sp), sp.dtype)], axis=1
         )
-        return self._rank(queries, k, tails=True)
+        return self._rank(queries, k, tails=True, filtered=filtered)
 
     def topk_heads(
-        self, po: np.ndarray, k: int = 10
+        self, po: np.ndarray, k: int = 10, filtered: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-``k`` head entities for ``(B, 2)`` `(p, o)` queries."""
         po = np.asarray(po)
         queries = np.stack(
             [np.zeros(len(po), po.dtype), po[:, 0], po[:, 1]], axis=1
         )
-        return self._rank(queries, k, tails=False)
+        return self._rank(queries, k, tails=False, filtered=filtered)
 
     def refresh(self, params=None, edges=None):
         """Re-encode after a parameter and/or graph update (hot swap);
@@ -137,6 +184,7 @@ class LinkPredictionServer:
         if edges is not None:
             self._edges = edges
         self.z = self._encode(self._params, self._edges)
+        self.num_nodes = int(self.z.shape[0])
 
     # -- internals --------------------------------------------------------
     def _chunks(self, arr: np.ndarray):
@@ -155,13 +203,35 @@ class LinkPredictionServer:
             yield lo, hi, padded
             lo = hi
 
-    def _rank(self, queries: np.ndarray, k: int, tails: bool):
+    def _rank(
+        self, queries: np.ndarray, k: int, tails: bool,
+        filtered: bool = False,
+    ):
+        filter_rows = self._filter_rows(queries, tails) if filtered else None
         scores = np.empty((len(queries), k), np.float32)
         ents = np.empty((len(queries), k), np.int32)
         for lo, hi, padded in self._chunks(queries):
-            s, e = self._rank_fn(k, tails)(
-                self._params, self.z, jnp.asarray(padded)
-            )
+            if filtered:
+                rows = filter_rows[lo:hi]
+                # Pad rows belong to the repeated last query — reuse its
+                # filter row so the padded program sees consistent inputs.
+                rows = rows + [rows[-1]] * (len(padded) - len(rows))
+                # Power-of-two width buckets bound the number of compiled
+                # (bucket, k, width) programs, like the batch buckets.
+                width = _bucket(max((len(r) for r in rows), default=1) or 1,
+                                1 << 20)
+                filt = np.full((len(padded), width), self.num_nodes,
+                               dtype=np.int32)
+                for i, r in enumerate(rows):
+                    filt[i, : len(r)] = r
+                s, e = self._rank_fn(k, tails, width)(
+                    self._params, self.z, jnp.asarray(padded),
+                    jnp.asarray(filt),
+                )
+            else:
+                s, e = self._rank_fn(k, tails, 0)(
+                    self._params, self.z, jnp.asarray(padded)
+                )
             scores[lo:hi] = np.asarray(s)[: hi - lo]
             ents[lo:hi] = np.asarray(e)[: hi - lo]
         return scores, ents
@@ -252,7 +322,8 @@ def load_lp_server(
         with_dst_layout=True, with_merged_layout=merge,
     )
     return LinkPredictionServer(
-        model, restored["params"], edges, max_batch=max_batch
+        model, restored["params"], edges, max_batch=max_batch,
+        known_triples=train_np,
     )
 
 

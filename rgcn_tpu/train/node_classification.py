@@ -173,7 +173,10 @@ def train_node_classifier(
                 epoch,
             )
 
-    if checkpoint_dir:
+    # Skip the final save when a resumed run already sits past the target
+    # epoch count — writing later-step params into step_{epochs} would
+    # mislabel the checkpoint (mirrors the LP driver's guard).
+    if checkpoint_dir and epochs >= start_epoch:
         from rgcn_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(

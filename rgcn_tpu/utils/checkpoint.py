@@ -16,6 +16,22 @@ __all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
 _FALLBACK_NAME = "state.msgpack"
 
 
+def _partial_subtree(raw: Any, like: Any, path: str) -> Any:
+    """Select ``like``'s top-level keys out of a restored full tree,
+    failing with a diagnosable error (not a bare KeyError) when the stored
+    checkpoint lacks a requested entry — e.g. a params-only checkpoint
+    probed for ``opt_state``."""
+    if not isinstance(like, dict):
+        return raw
+    missing = [k for k in like if k not in raw]
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path} lacks top-level entries {missing}; "
+            f"it holds {sorted(raw)}"
+        )
+    return {k: raw[k] for k in like}
+
+
 def _step_dir(ckpt_dir: str, step: int) -> str:
     return os.path.join(ckpt_dir, f"step_{step:08d}")
 
@@ -87,7 +103,7 @@ def restore_checkpoint(
             from flax import serialization
 
             raw = ckptr.restore(orbax_path)  # template-free full tree
-            sub = {k: raw[k] for k in like} if isinstance(like, dict) else raw
+            sub = _partial_subtree(raw, like, orbax_path)
             return serialization.from_state_dict(like, sub), step
 
     fallback = os.path.join(path, _FALLBACK_NAME)
@@ -99,6 +115,6 @@ def restore_checkpoint(
         if not partial:
             return serialization.from_bytes(like, payload), step
         raw = serialization.msgpack_restore(payload)
-        sub = {k: raw[k] for k in like} if isinstance(like, dict) else raw
+        sub = _partial_subtree(raw, like, fallback)
         return serialization.from_state_dict(like, sub), step
     return None, None

@@ -66,6 +66,71 @@ def test_lp_server_topk_matches_bruteforce():
         )
 
 
+def test_lp_server_filtered_topk_excludes_known_true():
+    """KG-completion mode: candidates registered as known-true must drop
+    out of top-k (reference filter semantics, utils/misc.py:39-58), while
+    the raw ranking still returns them."""
+    rng = np.random.default_rng(7)
+    model, params, edges, triples = _lp_setup(rng)
+    srv = LinkPredictionServer(model, params, edges, max_batch=8)
+
+    sp = np.stack([triples[:6, 0], triples[:6, 1]], axis=1)
+    raw_scores, raw_ents = srv.topk_tails(sp, k=5)
+
+    # Register each query's raw top-1 (and for some queries more, to
+    # exercise ragged filter rows) as known true.
+    known = []
+    banned_by_sp = {}  # queries may share an (s, p) key: filters merge
+    for i, (s, p) in enumerate(sp):
+        depth = 1 + (i % 3)  # rows of length 1..3 — ragged widths
+        for e in raw_ents[i, :depth]:
+            known.append((int(s), int(p), int(e)))
+            banned_by_sp.setdefault((int(s), int(p)), set()).add(int(e))
+    srv.set_filters(np.asarray(known))
+
+    filt_scores, filt_ents = srv.topk_tails(sp, k=5, filtered=True)
+    for i, (s, p) in enumerate(sp):
+        banned = banned_by_sp[(int(s), int(p))]
+        assert banned & set(int(e) for e in raw_ents[i]), "raw keeps them"
+        assert not banned & set(int(e) for e in filt_ents[i])
+        # surviving order is the raw order with banned entries removed
+        want = [int(e) for e in raw_ents[i] if int(e) not in banned]
+        assert [int(e) for e in filt_ents[i][: len(want)]] == want
+        assert np.all(np.isfinite(filt_scores[i]))
+
+    # head direction: ban the raw top-1 head for (p, o) queries
+    po = np.stack([triples[:4, 1], triples[:4, 2]], axis=1)
+    _, raw_h = srv.topk_heads(po, k=3)
+    srv.set_filters(
+        np.asarray([
+            (int(raw_h[i, 0]), int(p), int(o)) for i, (p, o) in enumerate(po)
+        ])
+    )
+    _, filt_h = srv.topk_heads(po, k=3, filtered=True)
+    for i in range(len(po)):
+        assert int(raw_h[i, 0]) not in set(int(e) for e in filt_h[i])
+
+    # a query with NO known triples must match the raw ranking exactly
+    srv.set_filters(np.asarray([(0, 0, 0)]))
+    novel = np.asarray([[int(triples[10, 0]), int(triples[10, 1])]])
+    if not (int(novel[0, 0]) == 0 and int(novel[0, 1]) == 0):
+        s_raw, e_raw = srv.topk_tails(novel, k=4)
+        s_f, e_f = srv.topk_tails(novel, k=4, filtered=True)
+        np.testing.assert_allclose(s_f, s_raw, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(e_f, e_raw)
+
+
+def test_lp_server_filtered_requires_known_triples():
+    rng = np.random.default_rng(8)
+    model, params, edges, triples = _lp_setup(rng)
+    srv = LinkPredictionServer(model, params, edges, max_batch=8)
+    sp = np.stack([triples[:2, 0], triples[:2, 1]], axis=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="known triples"):
+        srv.topk_tails(sp, k=3, filtered=True)
+
+
 def test_lp_server_bucketing_invariance():
     """Results must not depend on how queries land in padding buckets."""
     rng = np.random.default_rng(2)
