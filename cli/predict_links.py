@@ -85,9 +85,6 @@ def main():
         # multi-chip / multi-host path: sharded driver over a 2-D mesh
         # (rgcn_tpu.dist) — the reference has no distribution story at all
         # (/root/reference/experiments/classify_nodes.py:46-47)
-        if args.checkpoint_dir:
-            ap.error("--checkpoint-dir is not supported with --mesh/"
-                     "--distributed yet; drop it or train single-device")
         from rgcn_tpu.dist.driver import train_link_predictor_sharded
         from rgcn_tpu.dist.multihost import (
             initialize_distributed,
@@ -114,6 +111,8 @@ def main():
             train_link_predictor_sharded(
                 cfg, data, mesh, logger=logger, tile_size=args.tile_size,
                 max_epochs=args.epochs,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
             )
         return
 

@@ -54,8 +54,15 @@ def train_link_predictor_sharded(
     max_epochs: Optional[int] = None,
     edge_axis: str = EDGE_AXIS,
     backend: str = "pallas",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
 ):
-    """Train over the mesh; returns (final_mrr, hits, ranks, params)."""
+    """Train over the mesh; returns (final_mrr, hits, ranks, params).
+
+    ``checkpoint_dir`` enables process-0-writes / all-restore persistence
+    (:mod:`rgcn_tpu.dist.checkpoint`); resume reproduces the exact RNG
+    schedule of an uninterrupted run (epoch-indexed keys, like the
+    single-device driver)."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -147,6 +154,19 @@ def train_link_predictor_sharded(
 
     epochs = max_epochs if max_epochs is not None else cfg.training.epochs
     base_key = jax.random.key(seed + 2)
+
+    start_epoch = 1
+    if checkpoint_dir:
+        from rgcn_tpu.dist.checkpoint import restore_checkpoint_replicated
+
+        restored, ck_step = restore_checkpoint_replicated(
+            checkpoint_dir, {"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = ck_step + 1
+            logger.info(f"resumed from checkpoint at epoch {ck_step}")
     # basis encoders evaluate through the coalesced-pair layout (the full
     # graph carries every reciprocal duplicate — see graph/coalesce.py);
     # the sharded part of evaluation is the candidate sweep, the encode
@@ -171,8 +191,9 @@ def train_link_predictor_sharded(
         else None
     )
 
-    stacked, batch, labels = get_epoch(1)
-    for epoch in range(1, epochs + 1):
+    stacked, batch, labels = get_epoch(start_epoch)
+    ck_every = checkpoint_every or cfg.evaluation.check_every
+    for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
@@ -181,11 +202,31 @@ def train_link_predictor_sharded(
         if epoch < epochs:
             stacked, batch, labels = get_epoch(epoch + 1)
         loss = float(loss)
+        if checkpoint_dir and epoch % ck_every == 0:
+            from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
+
+            save_checkpoint_replicated(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state},
+                epoch,
+            )
         logger.log_scalar("training.loss", loss, step=epoch)
         logger.info(
             f"[Epoch {epoch}] Loss: {loss:.5f} Step: {time.time() - t1:.3f}s"
         )
     pool.shutdown(wait=False, cancel_futures=True)
+
+    # final-state checkpoint (epochs rarely divides the cadence; serving
+    # loads the LATEST step) — skipped when a resumed run already sits
+    # past the target epoch count
+    if checkpoint_dir and epochs >= start_epoch:
+        from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
+
+        save_checkpoint_replicated(
+            checkpoint_dir,
+            {"params": params, "opt_state": opt_state},
+            epochs,
+        )
 
     from rgcn_tpu.dist.evaluate import evaluate_link_predictor_sharded
 
