@@ -125,6 +125,18 @@ def run_config(cfg_path: str, root: str, epochs, repeats, final_run: bool):
 # ---------------------------------------------------------------------------
 
 def fabricate_datasets(root: str, seed: int = 0) -> None:
+    """Miniature datasets in the reference file formats — **learnable by
+    construction**, so the harness can assert actual learning (metrics
+    above chance) rather than mere completion:
+
+    * NC: every entity carries a ``memberOf`` edge to its class's indicator
+      node — messages flow object→subject, so one R-GCN layer separates the
+      classes perfectly; held-out accuracy must clear chance (1/3).
+    * LP: one relation is a within-group clique over 4 entity groups (plus
+      random noise relations); DistMult separates groups in embedding
+      space, so filtered test MRR must clear the random-ranking baseline
+      (``H_N / N`` ≈ 0.078 at N=60).
+    """
     import numpy as np
 
     from rgcn_tpu.data.loaders import _LP_REGISTRY, _NC_REGISTRY
@@ -136,10 +148,18 @@ def fabricate_datasets(root: str, seed: int = 0) -> None:
     ):
         d = os.path.join(root, name)
         os.makedirs(d, exist_ok=True)
-        n_ent, n_lab = 40, 24
+        n_ent, n_lab, n_cls = 40, 36, 3  # 24 train / 12 test — 8.3% steps
         ents = [f"http://ex/{name}/e{i}" for i in range(n_ent)]
+        inds = [f"http://ex/{name}/class_indicator{c}" for c in range(n_cls)]
         lines = []
-        for i in range(n_ent * 3):
+        for i in range(n_ent):  # class-revealing structure
+            lines.append(
+                f"<{ents[i]}> <http://ex/memberOf> <{inds[i % n_cls]}> ."
+            )
+        # a few noise edges for realism — kept sparse so the featureless
+        # (one-hot) configs generalize from structure instead of
+        # memorizing node identities through per-node weight rows
+        for i in range(n_ent // 2):
             s, o = rng.integers(0, n_ent, 2)
             p = rng.integers(0, 4)
             lines.append(f"<{ents[s]}> <http://ex/rel{p}> <{ents[o]}> .")
@@ -152,21 +172,34 @@ def fabricate_datasets(root: str, seed: int = 0) -> None:
                 for e, l in rows:
                     f.write(f"{e}\t{l}\n")
 
-        labeled = [(ents[i], f"class{i % 3}") for i in range(n_lab)]
-        tsv(os.path.join(root, train_rel), labeled[: n_lab - 8])
-        tsv(os.path.join(root, test_rel), labeled[n_lab - 8:])
+        labeled = [(ents[i], f"class{i % n_cls}") for i in range(n_lab)]
+        tsv(os.path.join(root, train_rel), labeled[: n_lab - 12])
+        tsv(os.path.join(root, test_rel), labeled[n_lab - 12:])
 
     for name, sub in _LP_REGISTRY.items():
         d = os.path.join(root, sub)
         os.makedirs(d, exist_ok=True)
-        n_ent, n_rel = 60, 5
-        for fname, count in (("train.txt", 300), ("valid.txt", 40),
-                             ("test.txt", 40)):
-            rows = []
-            for _ in range(count):
-                s, o = rng.integers(0, n_ent, 2)
-                p = rng.integers(0, n_rel)
-                rows.append(f"/e/{s}\t/r/{p}\t/e/{o}")
+        n_ent, n_noise_rel, n_grp = 60, 4, 4
+        # all ordered within-group pairs under the clique relation /r/0
+        pairs = [
+            (s, o)
+            for s in range(n_ent)
+            for o in range(n_ent)
+            if s != o and s % n_grp == o % n_grp
+        ]
+        rng.shuffle(pairs)
+        clique = [f"/e/{s}\t/r/0\t/e/{o}" for s, o in pairs]
+        noise = [
+            f"/e/{rng.integers(0, n_ent)}\t/r/{1 + rng.integers(0, n_noise_rel)}"
+            f"\t/e/{rng.integers(0, n_ent)}"
+            for _ in range(80)
+        ]
+        splits = (
+            ("train.txt", clique[:300] + noise),
+            ("valid.txt", clique[300:340]),
+            ("test.txt", clique[340:380]),
+        )
+        for fname, rows in splits:
             with open(os.path.join(d, fname), "w") as f:
                 f.write("\n".join(rows) + "\n")
 
@@ -203,8 +236,15 @@ def main(argv=None) -> int:
 
         root = tempfile.mkdtemp(prefix="rgcn_parity_fab_")
         fabricate_datasets(root)
-        epochs = epochs or 3
+        epochs = epochs or 80
         repeats = repeats or 1
+
+    # Learning floors for the fabricated (learnable-by-construction)
+    # datasets: chance is 33.3% accuracy / ~0.078 random-ranking MRR at
+    # N=60. A silent training regression cannot hide behind "it ran".
+    fab_floor = (
+        {"accuracy_pct": 50.0, "mrr_filtered": 0.15} if args.fabricate else {}
+    )
 
     rows = []
     for key, (metric, target, source) in TARGETS.items():
@@ -227,6 +267,12 @@ def main(argv=None) -> int:
                    "wall_s": round(time.time() - t0, 1), **extras}
             if target is not None:
                 row["delta"] = round(float(value) - target, 4)
+            floor = fab_floor.get(mname)
+            if floor is not None and float(value) < floor:
+                row["status"] = (
+                    f"ERROR: no learning — {mname} {float(value):.4f} "
+                    f"< floor {floor} on a learnable fabricated dataset"
+                )
             rows.append(row)
         except Exception as e:  # noqa: BLE001 — report per-config failures
             rows.append({"config": key, "status": f"ERROR: {e!r}"[:160],
