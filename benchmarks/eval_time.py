@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Official evaluation wall-time: the full WN18-scale filtered ranking
+evaluation (both directions, all test triples x all candidates) on one
+chip, end to end — encode + scanned sweeps + rank fetch + metrics.
+
+This is the reference's most expensive call
+(``/root/reference/utils/misc.py:60-110``: it re-runs the full graph
+encoder for every 16-triple candidate batch). Here the encoder runs once
+and each direction is ONE scanned device program
+(:func:`rgcn_tpu.train.evaluate.scan_ranks`), so the honest number is a
+simple wall clock around the whole call *including* the host fetch — the
+quantity a training run pays per evaluation. Multiple passes, median
+reported (first pass after compile is discarded).
+
+    python benchmarks/eval_time.py [--cpu --quick] [--batch-size 512]
+
+One JSON line, e.g.::
+
+    {"eval_wall_s": 1.84, "encode_ms": ..., "head_sweep_s": ...,
+     "tail_sweep_s": ..., "num_test": 4981, "num_nodes": 40943, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="small graph (CI smoke), not the official scale")
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--passes", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from rgcn_tpu.utils.compile_cache import enable
+
+        enable()
+
+    import jax
+    import numpy as np
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction, wn18_like
+    from rgcn_tpu.graph.coalesce import merge_applicable
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.train.evaluate import build_filters
+    from rgcn_tpu.train.link_prediction import (
+        build_lp_model,
+        evaluate_link_predictor,
+    )
+
+    cfg = load_experiment(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "rgcn", "lp-WN18.yaml")
+    )
+    data = (
+        synthetic_link_prediction(num_nodes=800, num_rels=8, num_edges=4000,
+                                  reciprocity=0.9, seed=0)
+        if args.quick
+        else wn18_like(seed=0)
+    )
+    num_nodes, num_rels = data.num_nodes, data.num_relations
+    train_np = np.asarray(data.train, dtype=np.int64)
+    test_np = np.asarray(data.test, dtype=np.int64)
+
+    model = build_lp_model(cfg, num_nodes, num_rels)
+    import jax.numpy as jnp
+
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
+
+    init_pos = jnp.asarray(train_np[:1024])
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        build_edge_set_dynamic(init_pos, num_nodes, num_rels, tile_size=128),
+        init_pos,
+    )
+
+    merge = merge_applicable(
+        2 * num_rels,
+        decomposition=cfg.encoder.decomposition.type,
+        num_bases=cfg.encoder.decomposition.num_bases,
+    )
+    t0 = time.time()
+    eval_edges = build_edge_set(
+        train_np, num_nodes, num_rels, tile_size=128,
+        with_dst_layout=True, with_merged_layout=merge,
+    )
+    layout_s = time.time() - t0
+    t0 = time.time()
+    filters = build_filters(test_np, data.all_triples, num_nodes)
+    filters_s = time.time() - t0
+
+    # warmup pass compiles encode + both scanned sweeps
+    evaluate_link_predictor(
+        model, params, eval_edges, test_np, filters,
+        batch_size=args.batch_size,
+    )
+
+    walls = []
+    mrr = 0.0
+    for _ in range(args.passes):
+        t0 = time.time()
+        mrr, hits, ranks = evaluate_link_predictor(
+            model, params, eval_edges, test_np, filters,
+            batch_size=args.batch_size,
+        )
+        walls.append(time.time() - t0)
+
+    # component breakdown (single timed pass each, compiled already)
+    from rgcn_tpu.train.link_prediction import _eval_fns
+    from rgcn_tpu.train.evaluate import batched_eval_arrays
+
+    encode, rank_h, rank_t = _eval_fns(model)
+    t0 = time.time()
+    z = encode(params, eval_edges)
+    jax.block_until_ready(z)
+    _ = np.asarray(z[:1])  # force a real fetch round trip on remote backends
+    encode_s = time.time() - t0
+
+    sweeps = {}
+    for tag, sweep, filt, tgt in (
+        ("head", rank_h, filters.heads, test_np[:, 0]),
+        ("tail", rank_t, filters.tails, test_np[:, 2]),
+    ):
+        arrays = batched_eval_arrays(test_np, filt, tgt, args.batch_size)
+        t0 = time.time()
+        r = sweep(params, z, *(jnp.asarray(a) for a in arrays))
+        np.asarray(r)
+        sweeps[tag] = time.time() - t0
+
+    out = {
+        "eval_wall_s": round(float(np.median(walls)), 3),
+        "eval_wall_min_s": round(min(walls), 3),
+        "encode_s": round(encode_s, 3),
+        "head_sweep_s": round(sweeps["head"], 3),
+        "tail_sweep_s": round(sweeps["tail"], 3),
+        "filters_build_s": round(filters_s, 3),
+        "eval_layout_build_s": round(layout_s, 3),
+        "num_test": int(len(test_np)),
+        "num_nodes": int(num_nodes),
+        "batch_size": args.batch_size,
+        "mrr": round(float(mrr), 4),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Bisect the structured-decoder BACKWARD (probe_lp_step.py pins it at
+~16-17 ms of the 26 ms WN18-scale LP step). Chained timings of isolated
+pieces at production shapes:
+
+    python benchmarks/probe_lp_bwd.py [--iters 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=60)
+    args = ap.parse_args()
+
+    from rgcn_tpu.utils.compile_cache import enable
+
+    enable()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+    from rgcn_tpu.ops.pallas_distmult import (
+        build_structured_layouts,
+        distmult_structured_agg_ad,
+    )
+
+    N, P, ns, d, R = 40943, 30000, 10, 200, 18
+    B = P * (1 + ns)
+    rng = np.random.default_rng(0)
+    pos_np = np.stack(
+        [rng.integers(0, N, P), rng.integers(0, R, P),
+         rng.integers(0, N, P)], axis=1,
+    )
+    ce_np = rng.integers(0, N, P * ns)
+    ch_np = rng.random(P * ns) < 0.5
+    lays = build_structured_layouts(pos_np, ce_np, N)
+    c_lay = lays[0]
+
+    nodes = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(R, d)).astype(np.float32))
+    pw = jnp.full((B,), 1.0 / B, jnp.float32)
+    pos = jnp.asarray(pos_np)
+    ch_ = jnp.asarray(ch_np)
+    ce_ = jnp.asarray(ce_np)
+    g_scores = jnp.asarray(
+        rng.normal(size=(B,)).astype(np.float32) / B
+    )
+    rows_big = jnp.asarray(
+        rng.normal(size=(P * ns, d)).astype(np.float32)
+    )
+    zc3 = jnp.asarray(
+        rng.normal(size=(P, ns, d)).astype(np.float32)
+    )
+    q = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+
+    def chain(fn, x0, iters=args.iters):
+        jitted = jax.jit(fn)
+
+        def measure(kk):
+            y = jitted(x0)
+            jax.block_until_ready(y)
+            float(np.asarray(y).reshape(-1)[0])
+            ts = []
+            for _ in range(3):
+                y = x0
+                t0 = time.perf_counter()
+                for _ in range(kk):
+                    y = jitted(y)
+                float(np.asarray(y).reshape(-1)[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (measure(2 + iters) - measure(2)) / iters
+
+    results = {}
+
+    # (a) full structured VJP at production scale (scores cotangent only)
+    def full_vjp(x):
+        def f(nodes_, rel_):
+            sc, pen = distmult_structured_agg_ad(
+                pos, ch_, ce_, nodes_, rel_, pw, lays
+            )
+            return jnp.vdot(sc, g_scores) + 0.01 * pen
+
+        gn, gr = jax.grad(f, argnums=(0, 1))(x, rel)
+        return x + gn * 1e-9 + jnp.sum(gr) * 1e-12
+
+    results["structured_vjp_ms"] = chain(full_vjp, nodes) * 1e3
+
+    # (b) forward alone (same epilogue form)
+    def fwd_only(x):
+        sc, pen = distmult_structured_agg_ad(
+            pos, ch_, ce_, x, rel, pw, lays
+        )
+        return x + (jnp.vdot(sc, g_scores) + 0.01 * pen) * 1e-9
+
+    results["structured_fwd_ms"] = chain(fwd_only, nodes) * 1e3
+
+    # (c) the corrupted-side aggregation alone: permute + kernel over
+    # Ns-row layout (rows fixed input)
+    def agg_c(x):
+        rows_z = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+        srt = rows_z[jnp.asarray(c_lay.perm)]
+        out = aggregate_presorted_pallas(srt, c_lay, N)
+        return x + out[: P * ns] * 1e-9
+
+    results["agg_corrupt_ms"] = chain(agg_c, rows_big) * 1e3
+
+    # (d) the 300k-row feature gather alone
+    def gat(x):
+        return x + x[ce_][: N] * 1e-9
+
+    results["gather_300k_ms"] = chain(gat, nodes) * 1e3
+
+    # (e) the (P, ns, d) elementwise+reduce pair (gzc_tail/head analogue)
+    def gzc(x):
+        chf = ch_.reshape(P, ns)[..., None].astype(x.dtype)
+        gsn = g_scores[P:].reshape(P, ns)[..., None]
+        t1 = jnp.sum((1.0 - chf) * gsn * x, axis=1)
+        t2 = jnp.sum(chf * gsn * x, axis=1)
+        return x + (t1 + t2)[:, None, :] * 1e-9
+
+    results["gzc_reductions_ms"] = chain(gzc, zc3) * 1e3
+
+    # (f) qk expansion + rows_c materialization analogue
+    def rowsc(x):
+        chb = ch_.reshape(P, ns)[..., None]
+        qk = jnp.where(chb, k[:, None, :], q[:, None, :])
+        gsn = g_scores[P:].reshape(P, ns)[..., None]
+        rows = gsn * qk + 1e-4 * x
+        return x + rows * 1e-9
+
+    results["rows_c_build_ms"] = chain(rowsc, zc3) * 1e3
+
+    for k_, v in results.items():
+        results[k_] = round(v, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

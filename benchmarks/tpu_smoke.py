@@ -203,6 +203,75 @@ def main() -> int:
     if not ok:
         failures.append("lp_train_step_pallas")
 
+    # sharded path under REAL Mosaic: a 1-device mesh compiles the
+    # manual-axes (shard_map, check_vma=False) Pallas kernels with the
+    # fusion defaults — the exact program a pod would run per shard, which
+    # interpret-mode CPU tests cannot gate. Numerics vs the XLA-backend
+    # sharded step on identical inputs (same key -> same batch + graph).
+    from jax.sharding import Mesh
+
+    from rgcn_tpu.dist.mesh import EDGE_AXIS
+    from rgcn_tpu.dist.train import make_sharded_lp_step
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), (EDGE_AXIS,))
+    shard_kwargs = dict(
+        num_nodes=num_nodes, num_relations=num_rels, emb_dim=128,
+        hidden1_size=128, num_layers=1, weight_init="schlichtkrull-normal",
+        bias_init="zeros", decoder_l2_type="schlichtkrull-l2",
+        decoder_l2=0.01, axis_name=EDGE_AXIS,
+    )
+    model_sp = LinkPredictor(backend="pallas", **shard_kwargs)
+    model_sx = LinkPredictor(backend="xla", **shard_kwargs)
+    # init OUTSIDE shard_map needs the axis-free twin (collectives would
+    # hit "unbound axis name") — same pattern as __graft_entry__
+    init_kwargs = {k: v for k, v in shard_kwargs.items()
+                   if k != "axis_name"}
+    params_s = LinkPredictor(**init_kwargs).init(
+        {"params": jax.random.key(2)}, edges0, positives
+    )
+    step_args = dict(
+        num_nodes=num_nodes, num_rels=num_rels, tile_size=256,
+        num_negatives=4, head_prob=0.5, decoder_l2_weight=0.01,
+    )
+    tx_s = optax.sgd(1e-2)
+    out = {}
+    for tag, m, backend in (
+        ("pallas", model_sp, "pallas"), ("xla", model_sx, "xla")
+    ):
+        step_s = make_sharded_lp_step(
+            m, tx_s, mesh1, backend=backend, row_block=256, **step_args
+        )
+        p2, _, loss_s = step_s(
+            params_s, tx_s.init(params_s), positives, jax.random.key(5)
+        )
+        out[tag] = (jax.tree.map(np.asarray, p2), float(loss_s))
+        del p2
+    ok = np.isfinite(out["pallas"][1])
+    print(
+        f"{'PASS' if ok else 'FAIL'} sharded_pallas_mosaic_compiles: "
+        f"loss={out['pallas'][1]:.5f}"
+    )
+    if not ok:
+        failures.append("sharded_pallas_mosaic_compiles")
+    check(
+        "sharded_pallas_vs_xla_loss",
+        np.asarray([out["pallas"][1]]), np.asarray([out["xla"][1]]),
+        3e-2, 3e-2,
+    )
+    leaves_p = jax.tree.leaves(out["pallas"][0])
+    leaves_x = jax.tree.leaves(out["xla"][0])
+    max_err = max(
+        float(np.max(np.abs(a - b) / (np.abs(b) + 1.0)))
+        for a, b in zip(leaves_p, leaves_x)
+    )
+    ok = len(leaves_p) == len(leaves_x) and max_err < 3e-2
+    print(
+        f"{'PASS' if ok else 'FAIL'} sharded_pallas_vs_xla_params: "
+        f"max rel err {max_err:.2e}"
+    )
+    if not ok:
+        failures.append("sharded_pallas_vs_xla_params")
+
     if failures:
         print(f"tpu_smoke FAILED: {failures}", file=sys.stderr)
         return 1

@@ -58,6 +58,7 @@ except Exception:  # pragma: no cover
     _HAVE_JAX = False
 
 __all__ = [
+    "DedupFwdLayout",
     "MergedPairLayout",
     "build_merged_layout",
     "merge_applicable",
@@ -93,6 +94,60 @@ def merge_applicable(
 
 
 @dataclasses.dataclass(frozen=True)
+class DedupFwdLayout:
+    """Source-dedup'd forward frame: within each destination row block,
+    pairs sharing a SOURCE are packed into one gather slot holding up to
+    ``K`` (local destination, coefficient-row) contributions — the source
+    row is fetched once and fanned out to its receivers through ``K``
+    one-hot masks in-kernel (:func:`rgcn_tpu.ops.pallas_basis
+    .weighted_aggregate_dedup_pallas`). Exactly the same terms as the
+    plain merged frame, reassociated; the gather shrinks by the measured
+    within-block duplicate factor (~1.25x raw on WN18-shaped graphs,
+    ~1.1-1.17x after chunk padding).
+
+    ``local_k`` uses the row-block one-hot convention (pad contributions
+    carry ``row_block`` and vanish); ``coeff_k[k]`` is a per-slot relation
+    coefficient matrix per contribution lane (zero rows on pads).
+    """
+
+    src_sorted: np.ndarray  # (Ld,) int32 — per-slot source (pads -> 0)
+    local_k: np.ndarray  # (K, n_chunks, CH) int32 in [0, RB]
+    chunk_block: np.ndarray  # (n_chunks,) int32
+    coeff_k: np.ndarray  # (K, Ld, R') float32
+    num_row_blocks: int
+    row_block: int
+    chunk: int
+
+    @property
+    def num_chunks(self) -> int:
+        return self.chunk_block.shape[0]
+
+    @property
+    def num_k(self) -> int:
+        return self.local_k.shape[0]
+
+
+if _HAVE_JAX:
+
+    def _ddl_flatten(d: DedupFwdLayout):
+        return (
+            (d.src_sorted, d.local_k, d.chunk_block, d.coeff_k),
+            (d.num_row_blocks, d.row_block, d.chunk),
+        )
+
+    def _ddl_unflatten(aux, children):
+        src_sorted, local_k, chunk_block, coeff_k = children
+        nrb, rb, ch = aux
+        return DedupFwdLayout(
+            src_sorted, local_k, chunk_block, coeff_k, nrb, rb, ch
+        )
+
+    jax.tree_util.register_pytree_node(
+        DedupFwdLayout, _ddl_flatten, _ddl_unflatten
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class MergedPairLayout:
     """Coalesced ``(receiver, source)`` pair layout for the basis kernel.
 
@@ -125,6 +180,10 @@ class MergedPairLayout:
     num_rels: int  # R' (general relations, inverses included)
     num_pairs: int  # unique real (dst, src) pairs
     num_edges: int  # real member edges merged into the pairs
+    #: optional source-dedup'd forward frame (build_merged_layout(dedup_k=K));
+    #: the backward frames above are shared — the VJP only consumes `agg`
+    #: and the rev_* fields, which dedup does not change.
+    fwd_dedup: Optional[DedupFwdLayout] = None
 
 
 if _HAVE_JAX:
@@ -133,18 +192,20 @@ if _HAVE_JAX:
         children = (
             m.layout, m.src_sorted, m.coeff,
             m.rev_layout, m.rev_src_sorted, m.rev_receiver, m.rev_coeff,
+            m.fwd_dedup,
         )
         aux = (m.num_nodes, m.num_rels, m.num_pairs, m.num_edges)
         return children, aux
 
     def _mpl_unflatten(aux, children):
         (layout, src_sorted, coeff,
-         rev_layout, rev_src_sorted, rev_receiver, rev_coeff) = children
+         rev_layout, rev_src_sorted, rev_receiver, rev_coeff,
+         fwd_dedup) = children
         num_nodes, num_rels, num_pairs, num_edges = aux
         return MergedPairLayout(
             layout, src_sorted, coeff,
             rev_layout, rev_src_sorted, rev_receiver, rev_coeff,
-            num_nodes, num_rels, num_pairs, num_edges,
+            num_nodes, num_rels, num_pairs, num_edges, fwd_dedup,
         )
 
     jax.tree_util.register_pytree_node(
@@ -181,6 +242,87 @@ def _pair_frame(
     )
 
 
+def _build_dedup_frame(
+    pair_d: np.ndarray,
+    pair_s: np.ndarray,
+    coeff: np.ndarray,
+    num_nodes: int,
+    row_block: int,
+    chunk: int,
+    k: int,
+) -> DedupFwdLayout:
+    """Pack within-(row block) same-source pairs into K-lane gather slots.
+
+    Every pair becomes exactly one (slot, lane) contribution; a group of
+    ``m`` pairs sharing ``(row block, src)`` occupies ``ceil(m / k)``
+    slots. Per-block slot counts pad to a chunk multiple with at least one
+    chunk (unvisited output blocks would stay uninitialized — same
+    convention as :func:`rgcn_tpu.ops.pallas_aggregate.build_dst_layout`).
+    """
+    n = pair_d.shape[0]
+    num_row_blocks = -(-num_nodes // row_block)
+    blk = (pair_d // row_block).astype(np.int64)
+    order = np.lexsort((pair_s, blk))
+    b_o = blk[order]
+    s_o = pair_s[order]
+    local_o = (pair_d[order] - b_o.astype(pair_d.dtype) * row_block).astype(
+        np.int32
+    )
+    coeff_o = np.take(coeff, order, axis=0)
+
+    new = np.ones(n, dtype=bool)
+    new[1:] = (b_o[1:] != b_o[:-1]) | (s_o[1:] != s_o[:-1])
+    gid = np.cumsum(new) - 1
+    first = np.flatnonzero(new)  # (G,) first pair index of each group
+    rank = np.arange(n) - first[gid]
+    slot_in_group = rank // k
+    lane = rank % k
+
+    counts = np.diff(np.append(first, n))
+    slots_per_group = -(-counts // k)  # (G,)
+    g_blk = b_o[first]  # (G,) block of each group
+
+    slots_per_block = np.zeros(num_row_blocks, np.int64)
+    np.add.at(slots_per_block, g_blk, slots_per_group)
+    padded_per_block = np.maximum(-(-slots_per_block // chunk), 1) * chunk
+    block_off = np.concatenate([[0], np.cumsum(padded_per_block)[:-1]])
+
+    # group's slot offset within its block: exclusive cumsum of
+    # slots_per_group, rebased at each block boundary (groups are
+    # block-sorted)
+    gs_excl = np.cumsum(slots_per_group) - slots_per_group
+    gnew = np.ones(len(first), dtype=bool)
+    gnew[1:] = g_blk[1:] != g_blk[:-1]
+    block_start_excl = gs_excl[np.flatnonzero(gnew)]
+    group_off = gs_excl - block_start_excl[np.cumsum(gnew) - 1]
+    group_base = block_off[g_blk] + group_off  # (G,) absolute slot base
+
+    slot_idx = (group_base[gid] + slot_in_group).astype(np.int64)  # per pair
+    total = int(padded_per_block.sum())
+
+    src_sorted = np.zeros(total, np.int32)
+    src_sorted[slot_idx] = s_o  # lanes of one slot share the source
+    local_k = np.full((k, total), row_block, np.int32)
+    local_k[lane, slot_idx] = local_o
+    coeff_k = np.zeros((k, total, coeff.shape[1]), np.float32)
+    coeff_k[lane, slot_idx] = coeff_o
+
+    n_chunks = total // chunk
+    chunk_block = np.repeat(
+        np.arange(num_row_blocks), padded_per_block // chunk
+    ).astype(np.int32)
+
+    return DedupFwdLayout(
+        src_sorted=src_sorted,
+        local_k=local_k.reshape(k, n_chunks, chunk),
+        chunk_block=chunk_block,
+        coeff_k=coeff_k,
+        num_row_blocks=int(num_row_blocks),
+        row_block=int(row_block),
+        chunk=int(chunk),
+    )
+
+
 def build_merged_layout(
     dst: np.ndarray,
     src: np.ndarray,
@@ -198,6 +340,7 @@ def build_merged_layout(
     max_rels: int = 128,
     pad_to: Optional[int] = None,
     rev_pad_to: Optional[int] = None,
+    dedup_k: int = 0,
 ) -> MergedPairLayout:
     """Coalesce augmented edges into a :class:`MergedPairLayout`.
 
@@ -213,6 +356,12 @@ def build_merged_layout(
     ``pad_to`` / ``rev_pad_to`` pad the two frames' slot counts so
     host-built per-epoch layouts stay shape-stable across recompiles (same
     contract as :func:`~rgcn_tpu.ops.pallas_aggregate.build_dst_layout`).
+
+    ``dedup_k > 1`` additionally builds the source-dedup'd forward frame
+    (:class:`DedupFwdLayout`, consumed automatically by
+    :func:`rgcn_tpu.ops.pallas_basis.rel_spmm_basis_merged_ad`'s forward);
+    the plain forward and both reverse frames are kept — the VJP uses them
+    unchanged.
     """
     if num_rels > max_rels:
         raise ValueError(
@@ -250,6 +399,12 @@ def build_merged_layout(
     recv_z = np.concatenate([pair_s, np.zeros((1,), np.int32)])
     rev_receiver = recv_z[rev_layout.perm].astype(np.int32)
 
+    fwd_dedup = None
+    if dedup_k and dedup_k > 1:
+        fwd_dedup = _build_dedup_frame(
+            pair_d, pair_s, coeff, num_nodes, row_block, chunk, dedup_k
+        )
+
     return MergedPairLayout(
         layout=layout,
         src_sorted=src_sorted,
@@ -262,4 +417,5 @@ def build_merged_layout(
         num_rels=int(num_rels),
         num_pairs=int(n_pairs),
         num_edges=int(d.shape[0]),
+        fwd_dedup=fwd_dedup,
     )

@@ -185,6 +185,136 @@ def weighted_aggregate_pallas(
     return out[:, :num_nodes]
 
 
+def weighted_aggregate_dedup_pallas(
+    xg_sorted: jax.Array,  # (Ld, din) dedup'd dst-sorted source rows
+    weights_k: jax.Array,  # (K, nb, Ld) per-lane per-slot scalars (0 pads)
+    dd,  # rgcn_tpu.graph.coalesce.DedupFwdLayout (geometry + local lanes)
+    num_nodes: int,
+    *,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+    input_fusion: bool = False,
+) -> jax.Array:
+    """K-lane variant of :func:`weighted_aggregate_pallas` for the
+    source-dedup'd merged frame: each gather slot carries up to ``K``
+    (local destination, weight) contributions — the source row is fetched
+    once and fanned out through ``K`` one-hot masks summed before the MXU
+    matmul. Same terms as the 1-lane kernel, reassociated.
+
+        Agg[b, d] = Σ_slots Σ_k 1[local_k[k, slot] = d-local] ·
+                    weights_k[k, b, slot] · xg_sorted[slot]
+
+    Returns ``(nb, num_nodes, din)``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    kk, nb = weights_k.shape[0], weights_k.shape[1]
+    din = xg_sorted.shape[-1]
+    ch = dd.chunk
+    rb = dd.row_block
+    n_chunks = dd.num_chunks
+
+    if compute_dtype is not None:
+        xg_sorted = xg_sorted.astype(compute_dtype)
+    xg = xg_sorted.reshape(1, n_chunks, ch, din)
+    w = weights_k.reshape(kk, nb, n_chunks, ch).transpose(2, 0, 1, 3)
+    local = jnp.asarray(dd.local_k).transpose(1, 0, 2)  # (n_chunks, K, ch)
+
+    f32_out = jnp.dtype(out_dtype) == jnp.dtype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # chunk_block
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kk, ch), lambda c, cb: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kk, nb, ch), lambda c, cb: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ch, din), lambda c, cb: (0, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, rb, din), lambda c, cb: (0, cb[c], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=(
+            [] if f32_out else [pltpu.VMEM((nb, rb, din), jnp.float32)]
+        ),
+    )
+
+    def kernel(cb_ref, local_ref, w_ref, xg_ref, out_ref, acc=None):
+        c = pl.program_id(0)
+        tgt = out_ref if f32_out else acc
+
+        @pl.when(
+            jnp.logical_or(c == 0, cb_ref[c] != cb_ref[jnp.maximum(c - 1, 0)])
+        )
+        def _():
+            tgt[:] = jnp.zeros_like(tgt)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rb, ch), 0)
+        dtype = xg_ref.dtype
+        # lane one-hots are weight-independent: build once, reuse per basis
+        onehots = [
+            (rows == local_ref[0, k][None, :]).astype(dtype)
+            for k in range(kk)
+        ]
+        xgb = xg_ref[0, 0]
+        for b in range(nb):
+            scaled = onehots[0] * w_ref[0, 0, b][None, :].astype(dtype)
+            for k in range(1, kk):
+                scaled += onehots[k] * w_ref[0, k, b][None, :].astype(dtype)
+            tgt[b] += jnp.dot(
+                scaled, xgb, preferred_element_type=jnp.float32
+            )
+
+        if not f32_out:
+            n = pl.num_programs(0)
+
+            @pl.when(
+                jnp.logical_or(
+                    c == n - 1, cb_ref[jnp.minimum(c + 1, n - 1)] != cb_ref[c]
+                )
+            )
+            def _():
+                out_ref[:] = acc[:].astype(out_ref.dtype)
+
+    compiler_params = None
+    if input_fusion and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            allow_input_fusion=[False, False, True],
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=compiler_params,
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, dd.num_row_blocks * rb, din), out_dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n_chunks * rb * ch * din,
+            bytes_accessed=(
+                xg_sorted.size * xg_sorted.dtype.itemsize
+                + nb * dd.num_row_blocks * rb * din
+                * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(dd.chunk_block), local, w, xg)
+
+    return out[:, :num_nodes]
+
+
 def _sorted_inputs(edges: EdgeSet, comps: jax.Array):
     """Destination-sorted per-slot (source index, basis weights)."""
     layout = edges.layout
@@ -337,15 +467,33 @@ def _merged_wvec(coeff, comps):
 
 def _basis_merged_fwd_impl(x, params, merged, compute_dtype, input_fusion):
     bases, comps = params
-    wvec = _merged_wvec(merged.coeff, comps)
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
-    xg = xc[jnp.asarray(merged.src_sorted)]  # (L, din) — the one gather
-    agg = weighted_aggregate_pallas(
-        xg, wvec, merged.layout, merged.num_nodes,
-        compute_dtype=compute_dtype,
-        out_dtype=(compute_dtype or jnp.float32),
-        input_fusion=input_fusion,
-    )  # (nb, N, din)
+    dd = getattr(merged, "fwd_dedup", None)
+    if dd is not None:
+        # source-dedup'd frame: fewer gather slots, K-lane fan-out
+        # in-kernel (graph/coalesce.py::DedupFwdLayout); same terms,
+        # reassociated — the backward below is untouched (it consumes
+        # `agg` and the shared reverse frames only).
+        wvec_k = jnp.einsum(
+            "klr,rb->kbl", jnp.asarray(dd.coeff_k), comps,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        xg = xc[jnp.asarray(dd.src_sorted)]
+        agg = weighted_aggregate_dedup_pallas(
+            xg, wvec_k, dd, merged.num_nodes,
+            compute_dtype=compute_dtype,
+            out_dtype=(compute_dtype or jnp.float32),
+            input_fusion=input_fusion,
+        )  # (nb, N, din)
+    else:
+        wvec = _merged_wvec(merged.coeff, comps)
+        xg = xc[jnp.asarray(merged.src_sorted)]  # (L, din) — the one gather
+        agg = weighted_aggregate_pallas(
+            xg, wvec, merged.layout, merged.num_nodes,
+            compute_dtype=compute_dtype,
+            out_dtype=(compute_dtype or jnp.float32),
+            input_fusion=input_fusion,
+        )  # (nb, N, din)
     out = jnp.einsum("bni,bio->no", agg, bases)
     return out, agg
 

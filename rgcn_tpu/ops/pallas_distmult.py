@@ -216,9 +216,20 @@ def build_structured_layouts(
     num_nodes: int,
     row_block: int = 128,
     chunk: int = 256,
+    sorted_corrupt: bool = False,
 ):
     """Host layouts for the structured backward: corrupted entities (Ns),
-    positives' subjects (P), positives' objects (P)."""
+    positives' subjects (P), positives' objects (P).
+
+    ``sorted_corrupt=True`` appends host-gathered slot index arrays
+    ``(ce_sorted, qk_idx_sorted)`` for the corrupted-entity side, enabling
+    the *sorted-order* backward: the (Ns, d) cotangent rows are computed
+    directly in layout order from two row gathers (``nodes[ce_sorted]``, a
+    source gather the aggregation kernel's input pipeline can fuse, and
+    the per-parent query table), instead of materializing the rows in
+    batch order and permuting them. Same arithmetic per slot —
+    bit-identical kernel inputs.
+    """
     positives = np.asarray(positives)
     corrupt_ent = np.asarray(corrupt_ent)
     nrb = -(-num_nodes // row_block)
@@ -229,7 +240,31 @@ def build_structured_layouts(
             ids, num_nodes, row_block=row_block, chunk=chunk, pad_to=pad_to
         )
 
-    return lay(corrupt_ent), lay(positives[:, 0]), lay(positives[:, 2])
+    c_lay = lay(corrupt_ent)
+    s_lay = lay(positives[:, 0])
+    o_lay = lay(positives[:, 2])
+    if not sorted_corrupt:
+        return c_lay, s_lay, o_lay
+    return c_lay, s_lay, o_lay, _sorted_corrupt_aux(
+        c_lay, corrupt_ent, len(positives)
+    )
+
+
+def _sorted_corrupt_aux(c_lay: DstLayout, corrupt_ent: np.ndarray,
+                        p_count: int):
+    """(ce_sorted, qk_idx_sorted) for the sorted-order corrupted-entity
+    backward; the corruption-side selection is folded into the query-table
+    index (``parent + P`` selects the head-corruption query row of the
+    in-jit ``[q ; k]`` concatenation). Pads -> row 0 (their slot weights
+    are zero through the perm-gathered cotangents)."""
+    ns_total = corrupt_ent.shape[0]
+    perm = c_lay.perm.astype(np.int64)
+    valid = perm < ns_total
+    safe = np.where(valid, perm, 0)
+    ce_sorted = np.where(valid, np.take(corrupt_ent, safe), 0)
+    ns = ns_total // p_count
+    parent = safe // ns
+    return ce_sorted.astype(np.int32), parent.astype(np.int32)
 
 
 def _structured_fwd_impl(positives, corrupt_head, corrupt_ent, nodes,
@@ -291,12 +326,14 @@ def _st_fwd(positives, corrupt_head, corrupt_ent, nodes, relations, pw,
     out, res = _structured_fwd_impl(
         positives, corrupt_head, corrupt_ent, nodes, relations, pw
     )
-    return out, (res, nodes.shape[0], relations.shape[0], layouts)
+    return out, (res, nodes, relations.shape[0], layouts)
 
 
 def _st_bwd(res, g):
-    (positives, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg), num_nodes, \
-        num_rels, (c_lay, s_lay, o_lay) = res
+    (positives, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg), nodes, \
+        num_rels, layouts = res
+    c_lay, s_lay, o_lay = layouts[:3]
+    num_nodes = nodes.shape[0]
     gs, gp = g
     p_count, ns, d = zc.shape
     p = positives[:, 1]
@@ -305,11 +342,36 @@ def _st_bwd(res, g):
     pc = gp * (2.0 / d)
 
     chf = ch[..., None].astype(zc.dtype)
-    qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
 
     # 1) corrupted entities: one fused row per negative (score + penalty)
-    rows_c = gs_neg[..., None] * qk + (pc * pw_neg)[..., None] * zc
-    dz = _rows_to_nodes(rows_c.reshape(-1, d), c_lay, num_nodes)
+    if len(layouts) == 4:
+        # sorted-order path: compute the rows directly in layout order —
+        # two row gathers feeding the aggregation kernel's input pipeline
+        # (fusible source gathers) replace the batch-order (Ns, d) row
+        # materialization + Ns-row permutation. Identical arithmetic per
+        # slot -> bit-identical kernel inputs (tests/test_distmult_agg.py).
+        ce_sorted, parent_sorted = layouts[3]
+        perm = jnp.asarray(c_lay.perm)
+        ge = jnp.concatenate(
+            [gs_neg.reshape(-1), jnp.zeros((1,), gs_neg.dtype)]
+        )[perm]
+        pwz = jnp.concatenate(
+            [pw_neg.reshape(-1), jnp.zeros((1,), pw_neg.dtype)]
+        )[perm]
+        chz = jnp.concatenate(
+            [ch.reshape(-1).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+        )[perm]
+        qk2 = jnp.concatenate([q, k], axis=0)  # (2P, d)
+        qk_s = qk2[jnp.asarray(parent_sorted) + p_count * chz]
+        zc_s = nodes[jnp.asarray(ce_sorted)].astype(zc.dtype)
+        rows_sorted = ge[:, None] * qk_s + (pc * pwz)[:, None] * zc_s
+        dz = aggregate_presorted_pallas(
+            rows_sorted, c_lay, num_nodes, input_fusion=True
+        )
+    else:
+        qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
+        rows_c = gs_neg[..., None] * qk + (pc * pw_neg)[..., None] * zc
+        dz = _rows_to_nodes(rows_c.reshape(-1, d), c_lay, num_nodes)
 
     # 2) positives' subjects: score (pos + tail-corrupt negs via dense
     #    ns-reduction) + penalty (pos + tail-corrupt neg uncorrupted side)

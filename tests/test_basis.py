@@ -482,3 +482,47 @@ def test_lp_model_feature_blocks_matches_monolithic():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
+
+
+def test_distmult_structured_sorted_backward_bit_identical():
+    """The sorted-order corrupted-entity backward (sorted_corrupt=True
+    layouts: rows computed directly in layout order from host-gathered
+    slot indices) must be BIT-identical to the batch-order path — same
+    arithmetic per slot, same kernel."""
+    from rgcn_tpu.ops.pallas_distmult import (
+        build_structured_layouts,
+        distmult_structured_agg_ad,
+    )
+
+    rng = np.random.default_rng(31)
+    n, p_cnt, ns, d, r = 300, 64, 5, 24, 6
+    pos_np = np.stack(
+        [rng.integers(0, n, p_cnt), rng.integers(0, r, p_cnt),
+         rng.integers(0, n, p_cnt)], axis=1,
+    )
+    ce_np = rng.integers(0, n, p_cnt * ns)
+    ch_np = rng.random(p_cnt * ns) < 0.5
+    nodes = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rels = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    pw = jnp.asarray(
+        rng.random(p_cnt * (1 + ns)).astype(np.float32)
+    ) / (p_cnt * (1 + ns))
+    pos, ch, ce = jnp.asarray(pos_np), jnp.asarray(ch_np), jnp.asarray(ce_np)
+
+    plain = build_structured_layouts(pos_np, ce_np, n, row_block=16,
+                                     chunk=32)
+    srt = build_structured_layouts(pos_np, ce_np, n, row_block=16,
+                                   chunk=32, sorted_corrupt=True)
+    assert len(srt) == 4
+
+    def loss(nodes, rels, lays):
+        sc, pen = distmult_structured_agg_ad(
+            pos, ch, ce, nodes, rels, pw, lays
+        )
+        return jnp.sum(jnp.sin(sc)) + 3.0 * pen
+
+    v0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(nodes, rels, plain)
+    v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(nodes, rels, srt)
+    assert float(v0) == float(v1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
