@@ -70,17 +70,21 @@ def main():
     def chain(fn, x0, iters=args.iters):
         jitted = jax.jit(fn)
 
+        def sync(y):
+            # device-side scalar slice, 4-byte fetch — pulling the whole
+            # tensor over the tunnel (~20 MB/s) would swamp the estimate
+            float(y.reshape(-1)[0])
+
         def measure(kk):
             y = jitted(x0)
-            jax.block_until_ready(y)
-            float(np.asarray(y).reshape(-1)[0])
+            sync(y)
             ts = []
             for _ in range(3):
                 y = x0
                 t0 = time.perf_counter()
                 for _ in range(kk):
                     y = jitted(y)
-                float(np.asarray(y).reshape(-1)[0])
+                sync(y)
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
@@ -116,7 +120,7 @@ def main():
         rows_z = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
         srt = rows_z[jnp.asarray(c_lay.perm)]
         out = aggregate_presorted_pallas(srt, c_lay, N)
-        return x + out[: P * ns] * 1e-9
+        return x.at[:N].add(out * 1e-9)
 
     results["agg_corrupt_ms"] = chain(agg_c, rows_big) * 1e3
 

@@ -169,7 +169,9 @@ def main():
         return_structure=True,
     )
     if on_accel:
-        st_lays = build_structured_layouts(np.asarray(pos0), ce_h, lp_n)
+        st_lays = build_structured_layouts(
+            np.asarray(pos0), ce_h, lp_n, sorted_corrupt=True
+        )
     else:
         st_lays = None
     labels_h = jnp.asarray(labels_h)
