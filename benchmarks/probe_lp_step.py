@@ -68,7 +68,7 @@ def main():
     )
     st_lays = build_structured_layouts(pos_np, ce_h, lp_n)
     st_lays_sorted = build_structured_layouts(
-        pos_np, ce_h, lp_n, sorted_corrupt=True
+        pos_np, ce_h, lp_n, sorted_corrupt=True, corrupt_head=ch_h
     )
     labels = jnp.asarray(labels_h)
     ch_ = jnp.asarray(ch_h)

@@ -170,7 +170,8 @@ def main():
     )
     if on_accel:
         st_lays = build_structured_layouts(
-            np.asarray(pos0), ce_h, lp_n, sorted_corrupt=True
+            np.asarray(pos0), ce_h, lp_n, sorted_corrupt=True,
+            corrupt_head=ch_h,
         )
     else:
         st_lays = None

@@ -28,7 +28,7 @@ with biases — or without host layouts — use the plain XLA autodiff path.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -217,18 +217,21 @@ def build_structured_layouts(
     row_block: int = 128,
     chunk: int = 256,
     sorted_corrupt: bool = False,
+    corrupt_head: Optional[np.ndarray] = None,
 ):
     """Host layouts for the structured backward: corrupted entities (Ns),
     positives' subjects (P), positives' objects (P).
 
-    ``sorted_corrupt=True`` appends host-gathered slot index arrays
-    ``(ce_sorted, qk_idx_sorted)`` for the corrupted-entity side, enabling
-    the *sorted-order* backward: the (Ns, d) cotangent rows are computed
-    directly in layout order from two row gathers (``nodes[ce_sorted]``, a
-    source gather the aggregation kernel's input pipeline can fuse, and
-    the per-parent query table), instead of materializing the rows in
-    batch order and permuting them. Same arithmetic per slot —
-    bit-identical kernel inputs.
+    ``sorted_corrupt=True`` (requires ``corrupt_head``) appends
+    host-gathered slot index arrays ``(ce_sorted, qk_idx_sorted)`` for the
+    corrupted-entity side, enabling the *sorted-order* backward: instead of
+    materializing the (Ns, d) cotangent rows in batch order and permuting
+    them, the backward runs two weighted one-hot aggregations whose source
+    gathers (``nodes[ce_sorted]`` and the per-parent query table row
+    ``qk2[qk_idx_sorted]``) compute inside the kernel's input pipeline —
+    the row tensor never exists in HBM. The corruption-side selection is
+    folded into the query index host-side (``parent + P`` selects the
+    head-corruption row of the in-jit ``[q ; k]`` concatenation).
     """
     positives = np.asarray(positives)
     corrupt_ent = np.asarray(corrupt_ent)
@@ -245,18 +248,18 @@ def build_structured_layouts(
     o_lay = lay(positives[:, 2])
     if not sorted_corrupt:
         return c_lay, s_lay, o_lay
+    if corrupt_head is None:
+        raise ValueError("sorted_corrupt=True requires corrupt_head")
     return c_lay, s_lay, o_lay, _sorted_corrupt_aux(
-        c_lay, corrupt_ent, len(positives)
+        c_lay, corrupt_ent, np.asarray(corrupt_head), len(positives)
     )
 
 
 def _sorted_corrupt_aux(c_lay: DstLayout, corrupt_ent: np.ndarray,
-                        p_count: int):
+                        corrupt_head: np.ndarray, p_count: int):
     """(ce_sorted, qk_idx_sorted) for the sorted-order corrupted-entity
-    backward; the corruption-side selection is folded into the query-table
-    index (``parent + P`` selects the head-corruption query row of the
-    in-jit ``[q ; k]`` concatenation). Pads -> row 0 (their slot weights
-    are zero through the perm-gathered cotangents)."""
+    backward. Pads -> row 0 (their slot weights are zero through the
+    perm-gathered cotangents)."""
     ns_total = corrupt_ent.shape[0]
     perm = c_lay.perm.astype(np.int64)
     valid = perm < ns_total
@@ -264,7 +267,11 @@ def _sorted_corrupt_aux(c_lay: DstLayout, corrupt_ent: np.ndarray,
     ce_sorted = np.where(valid, np.take(corrupt_ent, safe), 0)
     ns = ns_total // p_count
     parent = safe // ns
-    return ce_sorted.astype(np.int32), parent.astype(np.int32)
+    qk_idx = parent + p_count * np.take(
+        corrupt_head.astype(np.int64), safe
+    )
+    qk_idx = np.where(valid, qk_idx, 0)
+    return ce_sorted.astype(np.int32), qk_idx.astype(np.int32)
 
 
 def _structured_fwd_impl(positives, corrupt_head, corrupt_ent, nodes,
@@ -345,12 +352,18 @@ def _st_bwd(res, g):
 
     # 1) corrupted entities: one fused row per negative (score + penalty)
     if len(layouts) == 4:
-        # sorted-order path: compute the rows directly in layout order —
-        # two row gathers feeding the aggregation kernel's input pipeline
-        # (fusible source gathers) replace the batch-order (Ns, d) row
-        # materialization + Ns-row permutation. Identical arithmetic per
-        # slot -> bit-identical kernel inputs (tests/test_distmult_agg.py).
-        ce_sorted, parent_sorted = layouts[3]
+        # sorted-order path: the cotangent row of slot j is
+        #   ge_j · qk2[idx_j]  +  (pc·pw_j) · nodes[ce_j]
+        # and aggregation is linear, so instead of building the (L, d) row
+        # tensor (306 MB at WN18 scale — its materialize+permute was the
+        # measured 8.6 ms wall of the step, benchmarks/probe_lp_bwd.py) we
+        # run two *weighted* one-hot aggregations whose source gathers
+        # compute inside the kernel's input pipeline (input_fusion): the
+        # rows never exist in HBM. Same per-slot products, per-term
+        # aggregation order -> allclose at f32 (tests/test_basis.py).
+        from rgcn_tpu.ops.pallas_basis import weighted_aggregate_pallas
+
+        ce_sorted, qk_idx = layouts[3]
         perm = jnp.asarray(c_lay.perm)
         ge = jnp.concatenate(
             [gs_neg.reshape(-1), jnp.zeros((1,), gs_neg.dtype)]
@@ -358,16 +371,17 @@ def _st_bwd(res, g):
         pwz = jnp.concatenate(
             [pw_neg.reshape(-1), jnp.zeros((1,), pw_neg.dtype)]
         )[perm]
-        chz = jnp.concatenate(
-            [ch.reshape(-1).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
-        )[perm]
         qk2 = jnp.concatenate([q, k], axis=0)  # (2P, d)
-        qk_s = qk2[jnp.asarray(parent_sorted) + p_count * chz]
-        zc_s = nodes[jnp.asarray(ce_sorted)].astype(zc.dtype)
-        rows_sorted = ge[:, None] * qk_s + (pc * pwz)[:, None] * zc_s
-        dz = aggregate_presorted_pallas(
-            rows_sorted, c_lay, num_nodes, input_fusion=True
-        )
+        xq = qk2[jnp.asarray(qk_idx)]
+        xn = nodes[jnp.asarray(ce_sorted)].astype(zc.dtype)
+        dz = weighted_aggregate_pallas(
+            xq, ge[None, :], c_lay, num_nodes,
+            compute_dtype=None, input_fusion=True,
+        )[0]
+        dz = dz + weighted_aggregate_pallas(
+            xn, (pc * pwz)[None, :], c_lay, num_nodes,
+            compute_dtype=None, input_fusion=True,
+        )[0]
     else:
         qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
         rows_c = gs_neg[..., None] * qk + (pc * pw_neg)[..., None] * zc

@@ -413,12 +413,13 @@ def train_link_predictor(
             return_structure=True,
         )
         if structured_ok:
-            # sorted_corrupt: the corrupted-entity backward computes its
-            # cotangent rows directly in layout order (bit-identical
-            # gradients, tests/test_basis.py; measured ~-0.4 ms on the
-            # WN18-scale step, benchmarks/probe_lp_step.py)
+            # sorted_corrupt: the corrupted-entity backward runs weighted
+            # in-pipeline-gather aggregations in layout order instead of
+            # materializing the (Ns, d) cotangent rows (exact at f32,
+            # tests/test_basis.py; benchmarks/probe_lp_step.py)
             st_lays = build_structured_layouts(
-                positives, ce_, num_nodes, sorted_corrupt=True
+                positives, ce_, num_nodes, sorted_corrupt=True,
+                corrupt_head=ch_,
             )
             hosted = (labels, None, None, (ch_, ce_, st_lays))
         else:

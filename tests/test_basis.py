@@ -484,11 +484,12 @@ def test_lp_model_feature_blocks_matches_monolithic():
             )
 
 
-def test_distmult_structured_sorted_backward_bit_identical():
+def test_distmult_structured_sorted_backward_exact():
     """The sorted-order corrupted-entity backward (sorted_corrupt=True
-    layouts: rows computed directly in layout order from host-gathered
-    slot indices) must be BIT-identical to the batch-order path — same
-    arithmetic per slot, same kernel."""
+    layouts: two weighted in-pipeline-gather aggregations in layout order)
+    computes the same per-slot products as the batch-order path; only the
+    score/penalty term association differs, so gradients must agree to
+    f32 reassociation tolerance and the forward bit-exactly."""
     from rgcn_tpu.ops.pallas_distmult import (
         build_structured_layouts,
         distmult_structured_agg_ad,
@@ -512,7 +513,8 @@ def test_distmult_structured_sorted_backward_bit_identical():
     plain = build_structured_layouts(pos_np, ce_np, n, row_block=16,
                                      chunk=32)
     srt = build_structured_layouts(pos_np, ce_np, n, row_block=16,
-                                   chunk=32, sorted_corrupt=True)
+                                   chunk=32, sorted_corrupt=True,
+                                   corrupt_head=ch_np)
     assert len(srt) == 4
 
     def loss(nodes, rels, lays):
@@ -523,6 +525,8 @@ def test_distmult_structured_sorted_backward_bit_identical():
 
     v0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(nodes, rels, plain)
     v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(nodes, rels, srt)
-    assert float(v0) == float(v1)
+    assert float(v0) == float(v1)  # forward path is shared
     for a, b in zip(g0, g1):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
