@@ -47,6 +47,9 @@ def main():
     ce_np = rng.integers(0, N, P * ns)
     ch_np = rng.random(P * ns) < 0.5
     lays = build_structured_layouts(pos_np, ce_np, N)
+    lays_sorted = build_structured_layouts(
+        pos_np, ce_np, N, sorted_corrupt=True, corrupt_head=ch_np
+    )
     c_lay = lays[0]
 
     nodes = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
@@ -104,6 +107,80 @@ def main():
         return x + gn * 1e-9 + jnp.sum(gr) * 1e-12
 
     results["structured_vjp_ms"] = chain(full_vjp, nodes) * 1e3
+
+    # (a') the v3 SORTED VJP (weighted in-pipeline-gather aggregations)
+    def full_vjp_sorted(x):
+        def f(nodes_, rel_):
+            sc, pen = distmult_structured_agg_ad(
+                pos, ch_, ce_, nodes_, rel_, pw, lays_sorted
+            )
+            return jnp.vdot(sc, g_scores) + 0.01 * pen
+
+        gn, gr = jax.grad(f, argnums=(0, 1))(x, rel)
+        return x + gn * 1e-9 + jnp.sum(gr) * 1e-12
+
+    results["structured_vjp_sorted_ms"] = chain(full_vjp_sorted, nodes) * 1e3
+
+    # (a'') v3 pieces: one weighted aggregation gathering from a COMPUTED
+    # (2P, d) table vs from the nodes INPUT table (the backward's two
+    # kernel passes, isolated)
+    from rgcn_tpu.ops.pallas_basis import weighted_aggregate_pallas
+
+    ce_sorted, qk_idx = lays_sorted[3]
+    wsort = jnp.asarray(
+        rng.normal(size=(1, c_lay.perm.shape[0])).astype(np.float32) / B
+    )
+    qk_idx_j = jnp.asarray(qk_idx)
+    ce_sorted_j = jnp.asarray(ce_sorted)
+
+    def wagg_qk(x):
+        qk2 = jnp.concatenate([x[:P] * 1.0000001, x[:P] + 1e-7], axis=0)
+        xg = qk2[qk_idx_j]
+        out = weighted_aggregate_pallas(
+            xg, wsort, c_lay, N, compute_dtype=None, input_fusion=True
+        )[0]
+        return x + out * 1e-9
+
+    results["wagg_computed_qk_ms"] = chain(wagg_qk, nodes) * 1e3
+
+    def wagg_nodes(x):
+        xg = x[ce_sorted_j]
+        out = weighted_aggregate_pallas(
+            xg, wsort, c_lay, N, compute_dtype=None, input_fusion=True
+        )[0]
+        return x + out * 1e-9
+
+    results["wagg_input_nodes_ms"] = chain(wagg_nodes, nodes) * 1e3
+
+    # (a''') layout-geometry sweep for the sorted VJP: the default
+    # rb=128/ch=256 layouts carry heavy block-minimum padding (every row
+    # block gets >= 1 chunk, so the P=30k subject/object layouts are 73%
+    # pads: 320 blocks x 256 + 30208 = 112k slots). Larger row blocks cut
+    # the pad floor; one-hot flops grow with rb but the walls here are
+    # per-slot.
+    for rb, ch in ((256, 256), (512, 256), (512, 128), (1024, 128)):
+        lays_g = build_structured_layouts(
+            pos_np, ce_np, N, row_block=rb, chunk=ch,
+            sorted_corrupt=True, corrupt_head=ch_np,
+        )
+        slots_c = lays_g[0].perm.shape[0]
+        slots_p = lays_g[1].perm.shape[0]
+        print(f"rb={rb} ch={ch}: c_lay {slots_c} slots, p_lay {slots_p}",
+              file=sys.stderr, flush=True)
+
+        def full_vjp_g(x, _lays=lays_g):
+            def f(nodes_, rel_):
+                sc, pen = distmult_structured_agg_ad(
+                    pos, ch_, ce_, nodes_, rel_, pw, _lays
+                )
+                return jnp.vdot(sc, g_scores) + 0.01 * pen
+
+            gn, gr = jax.grad(f, argnums=(0, 1))(x, rel)
+            return x + gn * 1e-9 + jnp.sum(gr) * 1e-12
+
+        results[f"vjp_sorted_rb{rb}_ch{ch}_ms"] = (
+            chain(full_vjp_g, nodes) * 1e3
+        )
 
     # (b) forward alone (same epilogue form)
     def fwd_only(x):
