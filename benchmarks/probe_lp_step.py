@@ -100,8 +100,21 @@ def main():
 
     results = {}
 
+    # geometry variants for the sorted layouts (probe_lp_bwd measured the
+    # VJP-level effect; this measures the full step)
+    st_lays_g1 = build_structured_layouts(
+        pos_np, ce_h, lp_n, sorted_corrupt=True, corrupt_head=ch_h,
+        p_row_block=512,
+    )
+    st_lays_g2 = build_structured_layouts(
+        pos_np, ce_h, lp_n, row_block=512, chunk=256,
+        sorted_corrupt=True, corrupt_head=ch_h,
+    )
+
     # --- 1) full production step (plain vs sorted corrupted-side bwd) ---
-    for tag, lays in (("", st_lays), ("_sorted", st_lays_sorted)):
+    for tag, lays in (("", st_lays), ("_sorted", st_lays_sorted),
+                      ("_sorted_p512", st_lays_g1),
+                      ("_sorted_all512", st_lays_g2)):
         @jax.jit
         def full_step(params, opt_state, _lays=lays):
             def loss_fn(p):

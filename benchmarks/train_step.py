@@ -170,8 +170,8 @@ def main():
     )
     if on_accel:
         st_lays = build_structured_layouts(
-            np.asarray(pos0), ce_h, lp_n, sorted_corrupt=True,
-            corrupt_head=ch_h,
+            np.asarray(pos0), ce_h, lp_n, row_block=512, chunk=256,
+            sorted_corrupt=True, corrupt_head=ch_h,
         )
     else:
         st_lays = None

@@ -218,34 +218,46 @@ def build_structured_layouts(
     chunk: int = 256,
     sorted_corrupt: bool = False,
     corrupt_head: Optional[np.ndarray] = None,
+    p_row_block: Optional[int] = None,
+    p_chunk: Optional[int] = None,
 ):
     """Host layouts for the structured backward: corrupted entities (Ns),
     positives' subjects (P), positives' objects (P).
+
+    ``p_row_block`` / ``p_chunk`` set the geometry of the two P-sized
+    (subject/object) layouts separately from the Ns-sized corrupted-entity
+    layout: their static slot bound is ``nrb * chunk + ceil(P/chunk) *
+    chunk``, so at P = 30k the default 320-row-block geometry is ~73%
+    padding — larger row blocks cut the bound ~2.8x for a small one-hot
+    FLOP increase (measured net win, benchmarks/probe_lp_bwd.py). Defaults
+    preserve the corrupted-side geometry.
 
     ``sorted_corrupt=True`` (requires ``corrupt_head``) appends
     host-gathered slot index arrays ``(ce_sorted, qk_idx_sorted)`` for the
     corrupted-entity side, enabling the *sorted-order* backward: instead of
     materializing the (Ns, d) cotangent rows in batch order and permuting
-    them, the backward runs two weighted one-hot aggregations whose source
-    gathers (``nodes[ce_sorted]`` and the per-parent query table row
-    ``qk2[qk_idx_sorted]``) compute inside the kernel's input pipeline —
-    the row tensor never exists in HBM. The corruption-side selection is
-    folded into the query index host-side (``parent + P`` selects the
-    head-corruption row of the in-jit ``[q ; k]`` concatenation).
+    them, the backward runs one two-table weighted one-hot aggregation
+    whose source gather (a fused gather from the in-jit ``[q ; k ; nodes]``
+    concatenation) computes inside the kernel's input pipeline — the row
+    tensor never exists in HBM. The corruption-side selection is folded
+    into the query index host-side (``parent + P`` selects the
+    head-corruption row).
     """
     positives = np.asarray(positives)
     corrupt_ent = np.asarray(corrupt_ent)
-    nrb = -(-num_nodes // row_block)
+    p_rb = p_row_block or row_block
+    p_ch = p_chunk or chunk
 
-    def lay(ids):
-        pad_to = nrb * chunk + (-(-len(ids) // chunk)) * chunk
+    def lay(ids, rb, ch):
+        nrb = -(-num_nodes // rb)
+        pad_to = nrb * ch + (-(-len(ids) // ch)) * ch
         return build_dst_layout(
-            ids, num_nodes, row_block=row_block, chunk=chunk, pad_to=pad_to
+            ids, num_nodes, row_block=rb, chunk=ch, pad_to=pad_to
         )
 
-    c_lay = lay(corrupt_ent)
-    s_lay = lay(positives[:, 0])
-    o_lay = lay(positives[:, 2])
+    c_lay = lay(corrupt_ent, row_block, chunk)
+    s_lay = lay(positives[:, 0], p_rb, p_ch)
+    o_lay = lay(positives[:, 2], p_rb, p_ch)
     if not sorted_corrupt:
         return c_lay, s_lay, o_lay
     if corrupt_head is None:
@@ -296,7 +308,11 @@ def _structured_fwd_impl(positives, corrupt_head, corrupt_ent, nodes,
     neg_scores = jnp.sum(qk * zc, axis=-1)  # (P, ns)
     scores = jnp.concatenate([pos_scores, neg_scores.reshape(-1)])
 
-    # schlichtkrull penalty, structured: per-parent means reused
+    # schlichtkrull penalty, structured: per-parent means reused.
+    # (Computing these as gathers of per-NODE means — n2[corrupt_ent] —
+    # was measured 2.2 ms SLOWER: 300k SCALAR gathers are row-latency
+    # bound like any gather, while these means ride the already-
+    # materialized rows' bandwidth. benchmarks/probe_lp_step.py.)
     a2 = jnp.mean(zs**2, axis=-1)
     b2 = jnp.mean(rp**2, axis=-1)
     c2 = jnp.mean(zo**2, axis=-1)
@@ -356,14 +372,16 @@ def _st_bwd(res, g):
         #   ge_j · qk2[idx_j]  +  (pc·pw_j) · nodes[ce_j]
         # and aggregation is linear, so instead of building the (L, d) row
         # tensor (306 MB at WN18 scale — its materialize+permute was the
-        # measured 8.6 ms wall of the step, benchmarks/probe_lp_bwd.py) we
-        # run two *weighted* one-hot aggregations whose source gathers
-        # compute inside the kernel's input pipeline (input_fusion): the
-        # rows never exist in HBM. Same per-slot products, per-term
+        # measured 8.6 ms wall of the step, benchmarks/probe_lp_bwd.py)
+        # ONE two-table weighted one-hot aggregation (nb=2, sum_bases)
+        # gathers both terms' rows from the in-jit ``[q ; k ; nodes]``
+        # concatenation inside the kernel's input pipeline (input_fusion):
+        # the rows never exist in HBM. Same per-slot products, per-term
         # aggregation order -> allclose at f32 (tests/test_basis.py).
         from rgcn_tpu.ops.pallas_basis import weighted_aggregate_pallas
 
         ce_sorted, qk_idx = layouts[3]
+        L = c_lay.perm.shape[0]
         perm = jnp.asarray(c_lay.perm)
         ge = jnp.concatenate(
             [gs_neg.reshape(-1), jnp.zeros((1,), gs_neg.dtype)]
@@ -371,15 +389,16 @@ def _st_bwd(res, g):
         pwz = jnp.concatenate(
             [pw_neg.reshape(-1), jnp.zeros((1,), pw_neg.dtype)]
         )[perm]
-        qk2 = jnp.concatenate([q, k], axis=0)  # (2P, d)
-        xq = qk2[jnp.asarray(qk_idx)]
-        xn = nodes[jnp.asarray(ce_sorted)].astype(zc.dtype)
+        table = jnp.concatenate(
+            [q, k, nodes.astype(q.dtype)], axis=0
+        )  # (2P + N, d)
+        cidx = jnp.concatenate(
+            [jnp.asarray(qk_idx), jnp.asarray(ce_sorted) + 2 * p_count]
+        )
+        xg2 = table[cidx].reshape(2, L, d)
+        w2 = jnp.stack([ge, pc * pwz])  # (2, L)
         dz = weighted_aggregate_pallas(
-            xq, ge[None, :], c_lay, num_nodes,
-            compute_dtype=None, input_fusion=True,
-        )[0]
-        dz = dz + weighted_aggregate_pallas(
-            xn, (pc * pwz)[None, :], c_lay, num_nodes,
+            xg2, w2, c_lay, num_nodes, sum_bases=True,
             compute_dtype=None, input_fusion=True,
         )[0]
     else:

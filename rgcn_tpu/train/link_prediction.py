@@ -413,13 +413,16 @@ def train_link_predictor(
             return_structure=True,
         )
         if structured_ok:
-            # sorted_corrupt: the corrupted-entity backward runs weighted
-            # in-pipeline-gather aggregations in layout order instead of
-            # materializing the (Ns, d) cotangent rows (exact at f32,
-            # tests/test_basis.py; benchmarks/probe_lp_step.py)
+            # sorted_corrupt: the corrupted-entity backward runs one
+            # two-table weighted in-pipeline-gather aggregation in layout
+            # order instead of materializing the (Ns, d) cotangent rows
+            # (exact at f32, tests/test_basis.py). rb=512/ch=256 measured
+            # best at WN18 scale — the default 320-row-block geometry
+            # leaves the P-sized layouts ~73% padding
+            # (benchmarks/probe_lp_step.py: 21.1 -> 19.7 ms full step).
             st_lays = build_structured_layouts(
-                positives, ce_, num_nodes, sorted_corrupt=True,
-                corrupt_head=ch_,
+                positives, ce_, num_nodes, row_block=512, chunk=256,
+                sorted_corrupt=True, corrupt_head=ch_,
             )
             hosted = (labels, None, None, (ch_, ce_, st_lays))
         else:
