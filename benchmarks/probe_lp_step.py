@@ -137,22 +137,31 @@ def main():
             params, opt_state,
         ) * 1e3
 
-    # --- 2) encoder-only step (same graph, loss = sum encode) ---
-    @jax.jit
-    def enc_step(params, opt_state):
-        def loss_fn(p):
-            z = model.apply(p, es_host, method=model.encode)
-            return jnp.sum(jnp.sin(z))
+    # --- 2) encoder-only step (same graph, loss = sum encode), with an
+    # encoder-layout geometry variant: the per-epoch static slot bound at
+    # rb=128/ch=256 is ~142k slots for a 60k-edge subgraph (57% padding);
+    # rb=512 cuts the bound to ~81k ---
+    es_host_512 = build_edge_set_dynamic_host(
+        pos_np, lp_n, lp_r, tile_size=128, dropout_rate=0.5,
+        dropout_rng=np.random.default_rng(3), with_dst_layout=True,
+        row_block=512, layout_chunk=256,
+    )
+    for tag, es_v in (("", es_host), ("_rb512", es_host_512)):
+        @jax.jit
+        def enc_step(params, opt_state, _es=es_v):
+            def loss_fn(p):
+                z = model.apply(p, _es, method=model.encode)
+                return jnp.sum(jnp.sin(z))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, upd), opt_state
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state
 
-    results["encoder_step_ms"] = chain(
-        enc_step,
-        lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
-        params, opt_state,
-    ) * 1e3
+        results[f"encoder_step{tag}_ms"] = chain(
+            enc_step,
+            lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
+            params, opt_state,
+        ) * 1e3
 
     # --- 3) decoder-only (frozen z input; nodes/relations as params) ---
     z0 = jax.jit(lambda p: model.apply(p, es_host, method=model.encode))(

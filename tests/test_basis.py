@@ -530,3 +530,23 @@ def test_distmult_structured_sorted_backward_exact():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+    # split geometry (production uses larger row blocks for the P-sized
+    # subject/object layouts and the whole structured set; exactness must
+    # be geometry-independent, incl. row_block > num_nodes)
+    for kwargs in (
+        dict(row_block=16, chunk=32, p_row_block=64, p_chunk=16),
+        dict(row_block=512, chunk=256),
+    ):
+        srt_g = build_structured_layouts(
+            pos_np, ce_np, n, sorted_corrupt=True, corrupt_head=ch_np,
+            **kwargs,
+        )
+        vg, gg = jax.value_and_grad(loss, argnums=(0, 1))(
+            nodes, rels, srt_g
+        )
+        assert float(vg) == float(v0)
+        for a, b in zip(g0, gg):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
