@@ -111,15 +111,27 @@ def main():
         sorted_corrupt=True, corrupt_head=ch_h,
     )
 
-    # --- 1) full production step (plain vs sorted corrupted-side bwd) ---
-    for tag, lays in (("", st_lays), ("_sorted", st_lays_sorted),
-                      ("_sorted_p512", st_lays_g1),
-                      ("_sorted_all512", st_lays_g2)):
+    es_host_enc512 = build_edge_set_dynamic_host(
+        pos_np, lp_n, lp_r, tile_size=128, dropout_rate=0.5,
+        dropout_rng=np.random.default_rng(3), with_dst_layout=True,
+        row_block=512, layout_chunk=256,
+    )
+
+    # --- 1) full production step (plain vs sorted corrupted-side bwd;
+    # "_production" = what the trainer now builds: rb512 encoder layouts
+    # + all-512 structured layouts) ---
+    for tag, es_v, lays in (
+        ("", es_host, st_lays),
+        ("_sorted", es_host, st_lays_sorted),
+        ("_sorted_p512", es_host, st_lays_g1),
+        ("_sorted_all512", es_host, st_lays_g2),
+        ("_production", es_host_enc512, st_lays_g2),
+    ):
         @jax.jit
-        def full_step(params, opt_state, _lays=lays):
+        def full_step(params, opt_state, _es=es_v, _lays=lays):
             def loss_fn(p):
                 scores, pen = model.apply(
-                    p, es_host, pos0, ch_, ce_, pw, _lays,
+                    p, _es, pos0, ch_, ce_, pw, _lays,
                     method=model.structured_scores,
                 )
                 return (

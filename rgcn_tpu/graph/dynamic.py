@@ -29,6 +29,7 @@ from rgcn_tpu.graph.structure import EdgeSet
 
 __all__ = [
     "padded_size",
+    "auto_layout_row_block",
     "build_edge_set_dynamic",
     "build_edge_set_dynamic_host",
     "attach_host_layouts",
@@ -62,6 +63,31 @@ def padded_size(
         chunk = tile_size * tile_multiple
         out = ((out + chunk - 1) // chunk) * chunk
     return out
+
+
+def auto_layout_row_block(
+    num_nodes: int,
+    num_edges: int,
+    chunk: int = 256,
+    max_row_block: int = 512,
+) -> int:
+    """Pick the aggregation-layout row block for a (sub)graph's size.
+
+    The layout's static slot bound is ``ceil(N / rb) * chunk +
+    ceil(E / chunk) * chunk`` — every output row block costs at least one
+    chunk, so small subgraphs over large node sets drown in block-minimum
+    padding at rb=128 (a 60k-edge WN18 subgraph: 82k pad floor, 57%
+    padding; measured −20% on the encoder step at rb=512,
+    ``benchmarks/probe_lp_step.py``). Larger row blocks cut the floor but
+    grow the kernel's one-hot matmul flops linearly, so escalate only
+    while the pad floor exceeds ~35% of the edges.
+    """
+    rb = 128
+    while rb < max_row_block and (
+        -(-num_nodes // rb)
+    ) * chunk > 0.35 * max(num_edges, 1):
+        rb *= 2
+    return rb
 
 
 def build_edge_set_dynamic(

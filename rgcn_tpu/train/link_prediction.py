@@ -375,7 +375,10 @@ def train_link_predictor(
             start_epoch = ck_step + 1
             logger.info(f"resumed from checkpoint at epoch {ck_step}")
 
-    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.graph.dynamic import (
+        auto_layout_row_block,
+        build_edge_set_dynamic_host,
+    )
 
     # structured negative scoring (2.5x fewer query gathers; see
     # ops/pallas_distmult.py) needs a bias-free schlichtkrull-or-off
@@ -398,11 +401,15 @@ def train_link_predictor(
             )
         if not host_graph_build:
             return jnp.asarray(positives), None, None
+        # row block scaled to the subgraph (small epochs over large node
+        # sets drown in block-minimum layout padding at rb=128; measured
+        # -20% on the WN18-scale encoder step at rb=512)
+        enc_rb = auto_layout_row_block(num_nodes, 2 * len(positives))
         edges = build_edge_set_dynamic_host(
             positives, num_nodes, num_rels, tile_size=tile_size,
             dropout_rate=general_dropout,
             dropout_rng=np.random.default_rng((seed, epoch, 7)),
-            with_dst_layout=True, row_block=128, layout_chunk=256,
+            with_dst_layout=True, row_block=enc_rb, layout_chunk=256,
         )
         # negatives + scoring layouts for the scatter-free decoder
         # backward (ops/pallas_distmult.py) — in-jit layout builds cost
