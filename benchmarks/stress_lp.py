@@ -97,6 +97,8 @@ def main():
     t0 = time.time()
     train_link_predictor(cfg, data, logger=logger, max_epochs=args.epochs)
     wall = time.time() - t0
+    for line in logger.lines:
+        print(line, file=sys.stderr, flush=True)
 
     import re
 

@@ -156,11 +156,14 @@ def main():
     from rgcn_tpu.train.negative import corrupt_batch_host
 
     on_accel = jax.default_backend() in ("tpu", "axon")
+    from rgcn_tpu.graph.dynamic import auto_layout_row_block
+
     es_host = build_edge_set_dynamic_host(
         np.asarray(pos0), lp_n, lp_r, tile_size=128,
         dropout_rate=0.5, dropout_rng=np.random.default_rng(3),
         with_dst_layout=on_accel,
-        row_block=128, layout_chunk=256,
+        row_block=auto_layout_row_block(lp_n, 2 * len(np.asarray(pos0))),
+        layout_chunk=256,
     )
     from rgcn_tpu.ops.pallas_distmult import build_structured_layouts
 

@@ -133,3 +133,19 @@ def test_host_builder_matches_traced_builder():
     for field in ("perm", "local_dst", "chunk_block"):
         cmp(getattr(es_t.reverse.layout, field),
             getattr(es_h.reverse.layout, field), f"reverse.layout.{field}")
+
+
+def test_auto_layout_row_block():
+    """Row-block escalation: small subgraphs over large node sets escalate
+    (WN18 per-epoch: 60k edges / 40.9k nodes -> 512); edge-dominant graphs
+    stay at 128; stress scale lands between."""
+    from rgcn_tpu.graph.dynamic import auto_layout_row_block
+
+    assert auto_layout_row_block(40_943, 60_000) == 512
+    assert auto_layout_row_block(1_000_000, 200_000) == 512
+    assert auto_layout_row_block(40_943, 600_000) == 128
+    # pad floor monotonically shrinks with rb; result always a power of
+    # two in [128, 512]
+    for n, e in ((100, 10), (10_000, 10_000), (500_000, 5_000_000)):
+        rb = auto_layout_row_block(n, e)
+        assert rb in (128, 256, 512)
