@@ -237,6 +237,8 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
                 if n_drawn >= max_draws or done:
                     break
                 for _ in range(2):
+                    if n_drawn >= max_draws:
+                        break
                     w_ch = built[vk]
                     step = _make_step(_op)  # fresh identity -> fresh draw
                     dt_d = _measure_step(step, x, w_ch, m_iters, passes=2)

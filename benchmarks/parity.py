@@ -268,7 +268,9 @@ def main(argv=None) -> int:
             if target is not None:
                 row["delta"] = round(float(value) - target, 4)
             floor = fab_floor.get(mname)
-            if floor is not None and float(value) < floor:
+            # `not (x >= floor)`, not `x < floor`: a NaN metric (diverged
+            # run) must fail the floor, not silently pass it
+            if floor is not None and not (float(value) >= floor):
                 row["status"] = (
                     f"ERROR: no learning — {mname} {float(value):.4f} "
                     f"< floor {floor} on a learnable fabricated dataset"

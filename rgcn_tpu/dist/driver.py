@@ -218,8 +218,9 @@ def train_link_predictor_sharded(
 
     # final-state checkpoint (epochs rarely divides the cadence; serving
     # loads the LATEST step) — skipped when a resumed run already sits
-    # past the target epoch count
-    if checkpoint_dir and epochs >= start_epoch:
+    # past the target epoch count, or when the in-loop cadence save just
+    # wrote this exact step
+    if checkpoint_dir and epochs >= start_epoch and epochs % ck_every != 0:
         from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
 
         save_checkpoint_replicated(

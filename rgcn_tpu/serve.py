@@ -63,8 +63,10 @@ class LinkPredictionServer:
         self.max_batch = int(max_batch)
         self._known_tails = None  # (s, p) -> [o] known-true tails
         self._known_heads = None  # (p, o) -> [s] known-true heads
-        if known_triples is not None:
-            self.set_filters(known_triples)
+        # filter maps build lazily on the first filtered call — the O(E)
+        # Python loop over the known triples costs seconds at large scale
+        # and unfiltered-only servers never need it
+        self._pending_filters = known_triples
         # ONE jitted encode, reused by refresh() — a fresh jax.jit wrapper
         # per call would re-trace and recompile the whole encoder (minutes
         # on remote backends) at every hot swap
@@ -104,9 +106,7 @@ class LinkPredictionServer:
                     )
                 return jax.lax.top_k(scores, k)
 
-            if filter_width == 0:
-                return jax.jit(run)
-            return jax.jit(lambda p, z, batch, filt: run(p, z, batch, filt))
+            return jax.jit(run)
 
         self._rank_fn = _rank_fn
 
@@ -135,8 +135,11 @@ class LinkPredictionServer:
             heads.setdefault((int(p), int(o)), []).append(int(s))
         self._known_tails = tails
         self._known_heads = heads
+        self._pending_filters = None
 
     def _filter_rows(self, queries: np.ndarray, tails: bool):
+        if self._known_tails is None and self._pending_filters is not None:
+            self.set_filters(self._pending_filters)
         known = self._known_tails if tails else self._known_heads
         if known is None:
             raise ValueError(
@@ -217,9 +220,12 @@ class LinkPredictionServer:
                 # filter row so the padded program sees consistent inputs.
                 rows = rows + [rows[-1]] * (len(padded) - len(rows))
                 # Power-of-two width buckets bound the number of compiled
-                # (bucket, k, width) programs, like the batch buckets.
+                # (bucket, k, width) programs, like the batch buckets; no
+                # hard cap — a cap below the longest filter row would break
+                # the assignment below, and pow-2 growth already bounds the
+                # program count logarithmically.
                 width = _bucket(max((len(r) for r in rows), default=1) or 1,
-                                1 << 20)
+                                1 << 31)
                 filt = np.full((len(padded), width), self.num_nodes,
                                dtype=np.int32)
                 for i, r in enumerate(rows):

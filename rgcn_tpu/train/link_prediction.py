@@ -516,8 +516,9 @@ def train_link_predictor(
     # final-state checkpoint: epochs is rarely a multiple of the save
     # cadence, and serving (cli/serve_links.py) loads the LATEST step —
     # without this, up to ck_every-1 epochs of training silently served
-    # stale
-    if checkpoint_dir and epochs >= start_epoch:
+    # stale. Skipped when the in-loop cadence save just wrote this step.
+    ck_every_f = checkpoint_every or cfg.evaluation.check_every
+    if checkpoint_dir and epochs >= start_epoch and epochs % ck_every_f:
         from rgcn_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(

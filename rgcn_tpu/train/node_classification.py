@@ -175,8 +175,10 @@ def train_node_classifier(
 
     # Skip the final save when a resumed run already sits past the target
     # epoch count — writing later-step params into step_{epochs} would
-    # mislabel the checkpoint (mirrors the LP driver's guard).
-    if checkpoint_dir and epochs >= start_epoch:
+    # mislabel the checkpoint (mirrors the LP driver's guard) — and when
+    # the in-loop cadence save just wrote this exact step.
+    if checkpoint_dir and epochs >= start_epoch and \
+            epochs % (checkpoint_every or 10):
         from rgcn_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(
