@@ -335,7 +335,10 @@ def build_merged_layout(
     # chunk swept on-chip at WN18 scale over 3 independent processes:
     # ch=256 and ch=128 are within measurement noise (0.80-0.87 ms; one
     # 0.54 ms ch=128 reading did not reproduce), ch=64 and rb=64/256 are
-    # consistently worse — see benchmarks/kernels.py
+    # consistently worse — see benchmarks/kernels.py. Round-4 re-sweep at
+    # the real-size workload: ch=512 is also worse (0.95 vs 0.79 ms
+    # same-process, both rb=128 and rb=256 — chunk padding grows faster
+    # than DMA efficiency), rb=64 1.12 ms.
     chunk: int = 256,
     max_rels: int = 128,
     pad_to: Optional[int] = None,
