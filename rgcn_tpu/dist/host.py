@@ -36,12 +36,19 @@ def build_sharded_epoch_host(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     keep_mask: Optional[np.ndarray] = None,
-    row_block: int = 128,
+    row_block: Optional[int] = None,
     layout_chunk: int = 256,
 ) -> EdgeSet:
     """Per-shard EdgeSets (with layouts + reverse) stacked leaf-wise:
     every pytree leaf has a leading ``n_shards`` dimension for
-    ``in_specs=P(edge_axis)`` splitting."""
+    ``in_specs=P(edge_axis)`` splitting.
+
+    ``row_block=None`` picks the layout row block per the subgraph-size
+    heuristic (:func:`rgcn_tpu.graph.dynamic.auto_layout_row_block`) from
+    the PER-SHARD edge count — shard slices cover all ``num_nodes`` but
+    only ``E / n_shards`` edges, so the block-minimum pad floor bites
+    even harder than single-device. All shards share one edge count, so
+    the choice (and therefore the stacked leaf shapes) is uniform."""
     es = build_edge_set_dynamic_host(
         positives, num_nodes, num_rels, tile_size=tile_size,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
@@ -49,6 +56,10 @@ def build_sharded_epoch_host(
         with_dst_layout=False,
     )
     rows = es.src.shape[0] // n_shards
+    if row_block is None:
+        from rgcn_tpu.graph.dynamic import auto_layout_row_block
+
+        row_block = auto_layout_row_block(num_nodes, rows, layout_chunk)
     tiles = es.tile_rel.shape[0] // n_shards
 
     shards = []
