@@ -9,6 +9,12 @@ costs relative to the plain jit formulation (same in-jit graph build,
 same backend, same shapes). On a real pod the per-shard edge slice
 shrinks with the mesh; the 1-device overhead bounds the fixed cost.
 
+MEASURED (v5e, WN18 scale, 40-iter chains, 2026-08-18): in-jit sharded
+64.9 ms vs 46.6 unsharded (+39%, the per-shard in-jit layout sorts);
+HOSTED sharded 49.9 ms vs 53.7 single-device on the same host-built
+inputs (-7%) — the production multi-chip shape pays no measurable
+shard_map overhead.
+
     python benchmarks/probe_shard_overhead.py [--iters 40]
 """
 
@@ -138,6 +144,68 @@ def main():
     results["overhead_pct"] = round(
         100.0 * (results["sharded_1dev_ms"]
                  / min(results["single_ms"], results["single2_ms"]) - 1.0), 1
+    )
+
+    # --- hosted (production multi-chip shape): host-built per-shard
+    # layouts + host-drawn batch, transferred ONCE and chained — isolates
+    # the shard_map program-structure cost without the in-jit sorts ---
+    from rgcn_tpu.dist.host import build_sharded_epoch_host
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.train.negative import corrupt_batch_host
+
+    pos_np = np.asarray(triples[:bsz])
+    batch_h, labels_h = corrupt_batch_host(
+        np.random.default_rng(3), pos_np, n, num_neg, 0.5
+    )
+    es_h = build_edge_set_dynamic_host(
+        pos_np, n, r, tile_size=tile, with_dst_layout=True,
+        layout_chunk=256,
+    )
+    stacked = jax.device_put(jax.tree.map(
+        jnp.asarray,
+        build_sharded_epoch_host(pos_np, n, r, tile, 1, layout_chunk=256),
+    ))
+    batch_j = jnp.asarray(batch_h)
+    labels_j = jnp.asarray(labels_h)
+
+    es_hj = jax.device_put(jax.tree.map(jnp.asarray, es_h))
+
+    # big inputs as jit ARGUMENTS, not closure constants (CLAUDE.md:
+    # constants serialize into the remote-compile request)
+    @jax.jit
+    def _single_hosted(params, opt_state, es_, batch_, labels_):
+        def loss_fn(p):
+            scores, pen = model_1.apply(p, es_, batch_)
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels_).mean()
+                + 0.01 * pen
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def single_hosted(params, opt_state):
+        return _single_hosted(params, opt_state, es_hj, batch_j, labels_j)
+
+    hosted = make_sharded_lp_step_hosted(
+        model_s, tx, mesh1, num_nodes=n, decoder_l2_weight=0.01,
+    )
+
+    def hosted_step(params, opt_state):
+        p2, o2, _loss = hosted(
+            params, opt_state, stacked, batch_j, labels_j, key
+        )
+        return p2, o2
+
+    results["single_hosted_ms"] = round(chain(single_hosted) * 1e3, 3)
+    print(f"single hosted: {results['single_hosted_ms']} ms",
+          file=sys.stderr, flush=True)
+    results["hosted_sharded_1dev_ms"] = round(chain(hosted_step) * 1e3, 3)
+    results["hosted_overhead_pct"] = round(
+        100.0 * (results["hosted_sharded_1dev_ms"]
+                 / results["single_hosted_ms"] - 1.0), 1
     )
     print(json.dumps(results))
 
