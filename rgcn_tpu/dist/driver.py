@@ -32,7 +32,10 @@ from rgcn_tpu.config import LinkPredictionExperiment
 from rgcn_tpu.data.loaders import LinkPredictionData
 from rgcn_tpu.dist.host import build_sharded_epoch_host
 from rgcn_tpu.dist.mesh import EDGE_AXIS
-from rgcn_tpu.dist.train import make_sharded_lp_step_hosted
+from rgcn_tpu.dist.train import (
+    make_sharded_lp_step_hosted,
+    make_sharded_lp_step_hosted_structured,
+)
 from rgcn_tpu.graph.dynamic import build_edge_set_dynamic
 from rgcn_tpu.graph.structure import build_edge_set
 from rgcn_tpu.train.link_prediction import build_lp_model
@@ -115,13 +118,34 @@ def train_link_predictor_sharded(
     tx = make_optimizer(opt.algorithm, opt.learn_rate, opt.weight_decay)
     opt_state = tx.init(params)
 
-    step = make_sharded_lp_step_hosted(
-        model, tx, mesh,
-        num_nodes=num_nodes,
-        structural_self_keep=structural_self_keep,
-        decoder_l2_weight=cfg.decoder.l2_penalty,
-        axis_name=edge_axis,
+    # the single-device production decoder (structured negatives, sorted
+    # scatter-free backward) shards too — same eligibility conditions as
+    # rgcn_tpu.train.link_prediction's structured_ok
+    structured_ok = (
+        backend == "pallas"
+        and cfg.decoder.bias_init is None
+        and (
+            cfg.decoder.l2_penalty == 0.0
+            or cfg.decoder.l2_penalty_type == "schlichtkrull-l2"
+        )
     )
+    if structured_ok:
+        step = make_sharded_lp_step_hosted_structured(
+            model, tx, mesh,
+            num_nodes=num_nodes,
+            structural_self_keep=structural_self_keep,
+            decoder_l2_weight=cfg.decoder.l2_penalty,
+            want_penalty=cfg.decoder.l2_penalty > 0.0,
+            axis_name=edge_axis,
+        )
+    else:
+        step = make_sharded_lp_step_hosted(
+            model, tx, mesh,
+            num_nodes=num_nodes,
+            structural_self_keep=structural_self_keep,
+            decoder_l2_weight=cfg.decoder.l2_penalty,
+            axis_name=edge_axis,
+        )
 
     def sample_epoch(epoch):
         if batch_size >= len(train_np):
@@ -135,11 +159,23 @@ def train_link_predictor_sharded(
             dropout_rate=general_dropout,
             dropout_rng=np.random.default_rng((seed, epoch, 7)),
         )
+        if structured_ok:
+            _b, _l, ch_, ce_ = corrupt_batch_host(
+                np.random.default_rng((seed, epoch, 11)),
+                positives, num_nodes, num_neg, head_prob,
+                return_structure=True,
+            )
+            from rgcn_tpu.dist.host import build_sharded_structured_host
+
+            structured = build_sharded_structured_host(
+                positives, ch_, ce_, num_nodes, mesh.size
+            )
+            return stacked, (structured,)
         batch, labels = corrupt_batch_host(
             np.random.default_rng((seed, epoch, 11)),
             positives, num_nodes, num_neg, head_prob,
         )
-        return stacked, batch, labels
+        return stacked, (batch, labels)
 
     pool = ThreadPoolExecutor(max_workers=1)
     pending = {}
@@ -191,16 +227,16 @@ def train_link_predictor_sharded(
         else None
     )
 
-    stacked, batch, labels = get_epoch(start_epoch)
+    stacked, payload = get_epoch(start_epoch)
     ck_every = checkpoint_every or cfg.evaluation.check_every
     for epoch in range(start_epoch, epochs + 1):
         t1 = time.time()
         sub = jax.random.fold_in(base_key, epoch)
         params, opt_state, loss = step(
-            params, opt_state, stacked, batch, labels, sub
+            params, opt_state, stacked, *payload, sub
         )
         if epoch < epochs:
-            stacked, batch, labels = get_epoch(epoch + 1)
+            stacked, payload = get_epoch(epoch + 1)
         loss = float(loss)
         if checkpoint_dir and epoch % ck_every == 0:
             from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated

@@ -47,6 +47,7 @@ __all__ = [
     "make_sharded_nc_step",
     "make_sharded_lp_step",
     "make_sharded_lp_step_hosted",
+    "make_sharded_lp_step_hosted_structured",
     "pad_to_multiple",
 ]
 
@@ -324,6 +325,89 @@ def make_sharded_lp_step_hosted(
 
         loss, grads = loss_and_grads(
             params, stacked_edges, batch, labels, weights, self_mask, k_sl
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_lp_step_hosted_structured(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    decoder_l2_weight: float = 0.0,
+    want_penalty: bool = True,
+    structural_self_keep: Optional[float] = None,
+    num_nodes: Optional[int] = None,
+    axis_name: str = EDGE_AXIS,
+) -> Callable:
+    """Sharded LP step with the STRUCTURED production decoder.
+
+    The plain hosted step scores the assembled ``[positives ; negatives]``
+    batch with 3(P + Ns) query gathers and XLA scatter backwards; this one
+    runs the single-device production decoder per shard — 3P + Ns gathers,
+    sorted scatter-free backward (`ops/pallas_distmult.py`) — over the
+    host-built per-shard structured inputs from
+    :func:`rgcn_tpu.dist.host.build_sharded_structured_host` (stacked with
+    a leading ``mesh.size`` dim; edges stacked over the edge axis as
+    usual). Pad rows carry zero loss/penalty weight, and the decoder's
+    fanout marks make per-shard gradient partials psum exactly — same
+    contract as every other step here (``tests/test_dist.py``).
+
+    Step signature: ``step(params, opt_state, stacked_edges, structured,
+    key)`` with ``structured = (pos, ch, ce, labels, weights, layouts)``.
+    """
+    all_axes = tuple(mesh.axis_names)
+    espec = P(axis_name)
+    bspec = P(all_axes)
+
+    @jax.jit
+    def step(params, opt_state, stacked_edges, structured, key):
+        k_self, k_sl = jax.random.split(key)
+        if structural_self_keep is not None:
+            self_mask = jax.random.bernoulli(
+                k_self, structural_self_keep, (num_nodes, 1)
+            ).astype(jnp.float32)
+        else:
+            self_mask = None
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), espec, bspec, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def loss_and_grads(params, es_stacked, struct, self_mask, k_sl):
+            edges = jax.tree.map(lambda a: a[0], es_stacked)
+            pos, ch, ce, labels, w, lays = jax.tree.map(
+                lambda a: a[0], struct
+            )
+            # global real row count (pads carry weight 0; not
+            # differentiated, so a bare psum via all_reduce is fine)
+            total = all_reduce(jnp.sum(w), all_axes)
+            pw = (w / total) if want_penalty else jnp.zeros_like(w)
+
+            def loss_fn(p):
+                scores, penalty = model.apply(
+                    p, edges, pos, ch, ce, pw, lays,
+                    method=model.structured_scores,
+                    self_mask=self_mask,
+                    deterministic=False,
+                    rngs={"dropout": k_sl},
+                )
+                bce = optax.sigmoid_binary_cross_entropy(scores, labels)
+                local = jnp.sum(bce * w) / total
+                local = local + decoder_l2_weight * penalty
+                return all_reduce(local, all_axes)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        loss, grads = loss_and_grads(
+            params, stacked_edges, structured, self_mask, k_sl
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

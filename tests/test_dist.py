@@ -579,3 +579,91 @@ def test_sharded_training_resume_equivalence(mesh, tmp_path):
 
     tree_allclose(params_a, params_b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(mrr_a, mrr_b, rtol=1e-5)
+
+
+def test_sharded_lp_step_hosted_structured_matches_single_device(mesh):
+    """The STRUCTURED production decoder sharded over the scoring batch
+    (host-built per-shard structured layouts + sorted scatter-free
+    backward) == the single-device structured step — including a parent
+    count that does NOT divide the mesh (pad parents carry zero loss and
+    penalty weight)."""
+    from rgcn_tpu.dist.host import (
+        build_sharded_epoch_host,
+        build_sharded_structured_host,
+    )
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted_structured
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.ops.pallas_distmult import build_structured_layouts
+    from rgcn_tpu.train.negative import corrupt_batch_host
+
+    rng = np.random.default_rng(33)
+    n, r = 48, 4
+    triples = make_random_triples(rng, n, r, 200)
+    bsz, num_neg, tile = 27, 3, 8  # 27 does not divide 8 devices
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = LinkPredictor(backend="pallas", **kwargs)
+
+    positives = triples[:bsz]
+    keep = (rng.random(bsz) < 0.7).astype(np.float32)
+    _b, _l, ch_np, ce_np = corrupt_batch_host(
+        np.random.default_rng(3), positives, n, num_neg, 0.5,
+        return_structure=True,
+    )
+    b_real = bsz * (1 + num_neg)
+
+    es_1 = build_edge_set_dynamic_host(
+        positives, n, r, tile_size=tile, dropout_rate=0.5, keep_mask=keep,
+        with_dst_layout=True, row_block=8, layout_chunk=tile,
+    )
+    params = model_1.init(
+        {"params": jax.random.key(5)}, es_1, jnp.asarray(positives)
+    )
+    tx = make_optimizer("sgd", 0.01)
+
+    lays_1 = build_structured_layouts(
+        positives, ce_np, n, row_block=16, chunk=16,
+        sorted_corrupt=True, corrupt_head=ch_np,
+    )
+    labels_1 = jnp.concatenate(
+        [jnp.ones(bsz), jnp.zeros(bsz * num_neg)]
+    )
+    pw_1 = jnp.full((b_real,), 1.0 / b_real, jnp.float32)
+
+    def loss_1(p):
+        scores, pen = model_1.apply(
+            p, es_1, jnp.asarray(positives), jnp.asarray(ch_np),
+            jnp.asarray(ce_np), pw_1, lays_1,
+            method=model_1.structured_scores,
+        )
+        return (
+            optax.sigmoid_binary_cross_entropy(scores, labels_1).mean()
+            + 0.01 * pen
+        )
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    stacked = build_sharded_epoch_host(
+        positives, n, r, tile, N_DEV, dropout_rate=0.5, keep_mask=keep,
+        row_block=8, layout_chunk=tile,
+    )
+    structured = build_sharded_structured_host(
+        positives, ch_np, ce_np, n, N_DEV, row_block=16, chunk=16,
+    )
+    step = make_sharded_lp_step_hosted_structured(
+        model_s, tx, mesh, decoder_l2_weight=0.01, num_nodes=n,
+    )
+    params_s, _, loss_s = step(
+        params, tx.init(params), stacked, structured, jax.random.key(8)
+    )
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
