@@ -11,9 +11,11 @@ shrinks with the mesh; the 1-device overhead bounds the fixed cost.
 
 MEASURED (v5e, WN18 scale, 40-iter chains, 2026-08-18): in-jit sharded
 64.9 ms vs 46.6 unsharded (+39%, the per-shard in-jit layout sorts);
-HOSTED sharded 49.9 ms vs 53.7 single-device on the same host-built
-inputs (-7%) — the production multi-chip shape pays no measurable
-shard_map overhead.
+HOSTED sharded 49.9-50.2 ms vs 51.5-53.7 single-device on the same
+host-built inputs (-2..-7%) — the production multi-chip shape pays no
+measurable shard_map overhead; HOSTED STRUCTURED sharded (the sharded
+production decoder, `make_sharded_lp_step_hosted_structured`) 23.6 ms —
+2.1x the plain hosted sharded step on the same workload.
 
     python benchmarks/probe_shard_overhead.py [--iters 40]
 """
@@ -206,6 +208,35 @@ def main():
     results["hosted_overhead_pct"] = round(
         100.0 * (results["hosted_sharded_1dev_ms"]
                  / results["single_hosted_ms"] - 1.0), 1
+    )
+    print(f"hosted sharded: {results['hosted_sharded_1dev_ms']} ms",
+          file=sys.stderr, flush=True)
+
+    # --- hosted STRUCTURED (the sharded production decoder: 3P+Ns
+    # gathers, sorted scatter-free backward, per-shard layouts) ---
+    from rgcn_tpu.dist.host import build_sharded_structured_host
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted_structured
+    from rgcn_tpu.train.negative import corrupt_batch_host as _cbh
+
+    _b, _l, ch_np, ce_np = _cbh(
+        np.random.default_rng(3), pos_np, n, num_neg, 0.5,
+        return_structure=True,
+    )
+    structured = jax.device_put(jax.tree.map(
+        jnp.asarray,
+        build_sharded_structured_host(pos_np, ch_np, ce_np, n, 1),
+    ))
+    hosted_st = make_sharded_lp_step_hosted_structured(
+        model_s, tx, mesh1, decoder_l2_weight=0.01, num_nodes=n,
+    )
+
+    def hosted_st_step(params, opt_state):
+        p2, o2, _loss = hosted_st(params, opt_state, stacked, structured,
+                                  key)
+        return p2, o2
+
+    results["hosted_structured_1dev_ms"] = round(
+        chain(hosted_st_step) * 1e3, 3
     )
     print(json.dumps(results))
 
