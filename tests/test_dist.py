@@ -667,3 +667,95 @@ def test_sharded_lp_step_hosted_structured_matches_single_device(mesh):
 
     np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
     tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_lp_step_hosted_structured_2d_mesh_exact():
+    """The structured hosted step on a 2-D (replica x edge) mesh: edges
+    stacked over the edge axis (4), structured inputs over all 8 devices —
+    numerically equal to the single-device structured step."""
+    from rgcn_tpu.dist.host import (
+        build_sharded_epoch_host,
+        build_sharded_structured_host,
+    )
+    from rgcn_tpu.dist.multihost import make_mesh_2d
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted_structured
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.ops.pallas_distmult import build_structured_layouts
+    from rgcn_tpu.train.negative import corrupt_batch_host
+
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    mesh2 = make_mesh_2d(num_replicas=2, edge_size=4)
+    edge_ax = mesh2.axis_names[-1]
+
+    rng = np.random.default_rng(35)
+    n, r = 40, 3
+    triples = make_random_triples(rng, n, r, 160)
+    bsz, num_neg, tile = 20, 3, 8
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, emb_dim=8, hidden1_size=8,
+        num_layers=1, decomposition="basis", num_bases=2,
+        weight_init="schlichtkrull-normal", bias_init="zeros",
+        decoder_l2_type="schlichtkrull-l2", decoder_l2=0.01,
+    )
+    model_s = LinkPredictor(
+        axis_name=edge_ax, decoder_axis_name=tuple(mesh2.axis_names),
+        backend="pallas", **kwargs,
+    )
+    model_1 = LinkPredictor(backend="pallas", **kwargs)
+
+    positives = triples[:bsz]
+    _b, _l, ch_np, ce_np = corrupt_batch_host(
+        np.random.default_rng(3), positives, n, num_neg, 0.5,
+        return_structure=True,
+    )
+    b_real = bsz * (1 + num_neg)
+
+    es_1 = build_edge_set_dynamic_host(
+        positives, n, r, tile_size=tile,
+        with_dst_layout=True, row_block=8, layout_chunk=tile,
+    )
+    params = model_1.init(
+        {"params": jax.random.key(5)}, es_1, jnp.asarray(positives)
+    )
+    tx = make_optimizer("sgd", 0.01)
+
+    lays_1 = build_structured_layouts(
+        positives, ce_np, n, row_block=16, chunk=16,
+        sorted_corrupt=True, corrupt_head=ch_np,
+    )
+    labels_1 = jnp.concatenate([jnp.ones(bsz), jnp.zeros(bsz * num_neg)])
+    pw_1 = jnp.full((b_real,), 1.0 / b_real, jnp.float32)
+
+    def loss_1(p):
+        scores, pen = model_1.apply(
+            p, es_1, jnp.asarray(positives), jnp.asarray(ch_np),
+            jnp.asarray(ce_np), pw_1, lays_1,
+            method=model_1.structured_scores,
+        )
+        return (
+            optax.sigmoid_binary_cross_entropy(scores, labels_1).mean()
+            + 0.01 * pen
+        )
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    stacked = build_sharded_epoch_host(
+        positives, n, r, tile, 4, row_block=8, layout_chunk=tile,
+    )
+    structured = build_sharded_structured_host(
+        positives, ch_np, ce_np, n, mesh2.size, row_block=16, chunk=16,
+    )
+    step = make_sharded_lp_step_hosted_structured(
+        model_s, tx, mesh2, decoder_l2_weight=0.01, num_nodes=n,
+        axis_name=edge_ax,
+    )
+    params_s, _, loss_s = step(
+        params, tx.init(params), stacked, structured, jax.random.key(8)
+    )
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
