@@ -272,6 +272,92 @@ def main() -> int:
     if not ok:
         failures.append("sharded_pallas_vs_xla_params")
 
+    # the PRODUCTION sharded step (hosted structured decoder) under real
+    # Mosaic: per-shard sorted structured layouts + the two-table weighted
+    # aggregation backward. Numerics vs the single-device structured step
+    # on identical inputs.
+    from rgcn_tpu.dist.host import (
+        build_sharded_epoch_host,
+        build_sharded_structured_host,
+    )
+    from rgcn_tpu.dist.train import make_sharded_lp_step_hosted_structured
+    from rgcn_tpu.graph.dynamic import build_edge_set_dynamic_host
+    from rgcn_tpu.ops.pallas_distmult import build_structured_layouts
+    from rgcn_tpu.train.negative import corrupt_batch_host
+
+    pos_np = np.asarray(triples[:512])
+    p_cnt, n_neg = pos_np.shape[0], 4
+    _b, _l, ch_np, ce_np = corrupt_batch_host(
+        np.random.default_rng(3), pos_np, num_nodes, n_neg, 0.5,
+        return_structure=True,
+    )
+    b_real = p_cnt * (1 + n_neg)
+    es_1 = build_edge_set_dynamic_host(
+        pos_np, num_nodes, num_rels, tile_size=256,
+        with_dst_layout=True, row_block=128, layout_chunk=256,
+    )
+    lays_1 = build_structured_layouts(
+        pos_np, ce_np, num_nodes, sorted_corrupt=True, corrupt_head=ch_np,
+    )
+    labels_st = jnp.concatenate(
+        [jnp.ones(p_cnt), jnp.zeros(p_cnt * n_neg)]
+    )
+    pw_st = jnp.full((b_real,), 1.0 / b_real, jnp.float32)
+    model_u = LinkPredictor(backend="pallas", **init_kwargs)
+
+    @jax.jit
+    def single_structured(p):
+        def loss_fn(p_):
+            scores, pen = model_u.apply(
+                p_, es_1, jnp.asarray(pos_np), jnp.asarray(ch_np),
+                jnp.asarray(ce_np), pw_st, lays_1,
+                method=model_u.structured_scores,
+            )
+            return (
+                optax.sigmoid_binary_cross_entropy(
+                    scores, labels_st
+                ).mean()
+                + 0.01 * pen
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, _ = tx_s.update(grads, tx_s.init(p), p)
+        return optax.apply_updates(p, upd), loss
+
+    p_ref, loss_ref = single_structured(params_s)
+    stacked_h = build_sharded_epoch_host(
+        pos_np, num_nodes, num_rels, 256, 1,
+        row_block=128, layout_chunk=256,
+    )
+    structured_h = build_sharded_structured_host(
+        pos_np, ch_np, ce_np, num_nodes, 1,
+    )
+    step_h = make_sharded_lp_step_hosted_structured(
+        model_sp, tx_s, mesh1, decoder_l2_weight=0.01,
+        num_nodes=num_nodes,
+    )
+    p_h, _, loss_h = step_h(
+        params_s, tx_s.init(params_s), stacked_h, structured_h,
+        jax.random.key(11),
+    )
+    check(
+        "sharded_structured_vs_single_loss",
+        np.asarray([float(loss_h)]), np.asarray([float(loss_ref)]),
+        3e-2, 3e-2,
+    )
+    max_err_h = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))
+                     / (np.abs(np.asarray(b)) + 1.0)))
+        for a, b in zip(jax.tree.leaves(p_h), jax.tree.leaves(p_ref))
+    )
+    ok = max_err_h < 3e-2
+    print(
+        f"{'PASS' if ok else 'FAIL'} sharded_structured_vs_single_params: "
+        f"max rel err {max_err_h:.2e}"
+    )
+    if not ok:
+        failures.append("sharded_structured_vs_single_params")
+
     if failures:
         print(f"tpu_smoke FAILED: {failures}", file=sys.stderr)
         return 1
