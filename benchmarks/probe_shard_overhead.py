@@ -9,13 +9,16 @@ costs relative to the plain jit formulation (same in-jit graph build,
 same backend, same shapes). On a real pod the per-shard edge slice
 shrinks with the mesh; the 1-device overhead bounds the fixed cost.
 
-MEASURED (v5e, WN18 scale, 40-iter chains, 2026-08-18): in-jit sharded
-64.9 ms vs 46.6 unsharded (+39%, the per-shard in-jit layout sorts);
-HOSTED sharded 49.9-50.2 ms vs 51.5-53.7 single-device on the same
-host-built inputs (-2..-7%) — the production multi-chip shape pays no
-measurable shard_map overhead; HOSTED STRUCTURED sharded (the sharded
-production decoder, `make_sharded_lp_step_hosted_structured`) 23.6 ms —
-2.1x the plain hosted sharded step on the same workload.
+MEASURED (v5e, WN18 scale, 40-iter chains, 2026-08-18, after the review
+fixed two confounded baselines — the in-jit single side originally ran
+the XLA-encoder fallback, and the hosted sides ran different row
+blocks): in-jit sharded 65.4 ms vs 57.1 unsharded SAME-backend (+14.5%,
+both building Pallas layouts in-jit); HOSTED sharded 49.9 ms vs 50.7
+single-device on identical host-built inputs and geometry (-1.5%) — the
+production multi-chip shape pays no measurable shard_map overhead;
+HOSTED STRUCTURED sharded (the sharded production decoder,
+`make_sharded_lp_step_hosted_structured`) 23.6-23.7 ms — 2.1x the plain
+hosted sharded step on the same workload.
 
     python benchmarks/probe_shard_overhead.py [--iters 40]
 """
@@ -90,7 +93,13 @@ def main():
     def single_step(params, opt_state):
         k_neg, _, _, _ = jax.random.split(key, 4)
         batch, labels = corrupt_batch(k_neg, positives, n, num_neg, 0.5)
-        edges = build_edge_set_dynamic(positives, n, r, tile_size=tile)
+        # with_dst_layout: build the in-jit Pallas layouts like the
+        # sharded side does — without them the 'pallas' model silently
+        # falls back to the XLA encoder and the A/B compares BACKENDS,
+        # not shard_map structure (round-4 review finding)
+        edges = build_edge_set_dynamic(
+            positives, n, r, tile_size=tile, with_dst_layout=True,
+        )
 
         def loss_fn(p):
             scores, penalty = model_1.apply(
@@ -160,13 +169,21 @@ def main():
     batch_h, labels_h = corrupt_batch_host(
         np.random.default_rng(3), pos_np, n, num_neg, 0.5
     )
+    # identical layout geometry on BOTH sides — build_sharded_epoch_host
+    # auto-escalates the row block on TPU, and an rb mismatch is itself a
+    # measured ~20% encoder effect that would confound the shard_map A/B
+    from rgcn_tpu.graph.dynamic import auto_layout_row_block
+
+    rb_h = auto_layout_row_block(n, 2 * bsz) \
+        if jax.default_backend() in ("tpu", "axon") else 128
     es_h = build_edge_set_dynamic_host(
         pos_np, n, r, tile_size=tile, with_dst_layout=True,
-        layout_chunk=256,
+        row_block=rb_h, layout_chunk=256,
     )
     stacked = jax.device_put(jax.tree.map(
         jnp.asarray,
-        build_sharded_epoch_host(pos_np, n, r, tile, 1, layout_chunk=256),
+        build_sharded_epoch_host(pos_np, n, r, tile, 1, row_block=rb_h,
+                                 layout_chunk=256),
     ))
     batch_j = jnp.asarray(batch_h)
     labels_j = jnp.asarray(labels_h)
@@ -218,9 +235,9 @@ def main():
     from rgcn_tpu.dist.train import make_sharded_lp_step_hosted_structured
     from rgcn_tpu.train.negative import corrupt_batch_host as _cbh
 
-    _b, _l, ch_np, ce_np = _cbh(
+    ch_np, ce_np = _cbh(
         np.random.default_rng(3), pos_np, n, num_neg, 0.5,
-        return_structure=True,
+        structure_only=True,
     )
     structured = jax.device_put(jax.tree.map(
         jnp.asarray,

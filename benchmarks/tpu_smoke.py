@@ -287,9 +287,9 @@ def main() -> int:
 
     pos_np = np.asarray(triples[:512])
     p_cnt, n_neg = pos_np.shape[0], 4
-    _b, _l, ch_np, ce_np = corrupt_batch_host(
+    ch_np, ce_np = corrupt_batch_host(
         np.random.default_rng(3), pos_np, num_nodes, n_neg, 0.5,
-        return_structure=True,
+        structure_only=True,
     )
     b_real = p_cnt * (1 + n_neg)
     es_1 = build_edge_set_dynamic_host(

@@ -144,6 +144,22 @@ class LinkPredictionExperiment:
     decoder: DecoderConfig
     evaluation: EvaluationConfig
 
+    def structured_decoder_ok(self, pallas: bool) -> bool:
+        """Is the structured-negatives production decoder (3P+Ns query
+        gathers, sorted scatter-free backward — ops/pallas_distmult.py)
+        applicable? ONE predicate shared by the single-device trainer and
+        the sharded driver, so the two dispatch sites cannot diverge:
+        bias-free scoring with a schlichtkrull-or-off L2, on the Pallas
+        backend."""
+        return (
+            pallas
+            and self.decoder.bias_init is None
+            and (
+                self.decoder.l2_penalty == 0.0
+                or self.decoder.l2_penalty_type == "schlichtkrull-l2"
+            )
+        )
+
 
 def _build(cls, raw: Optional[Dict[str, Any]]):
     """Construct a (possibly nested) config dataclass from a raw dict,

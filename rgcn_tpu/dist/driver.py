@@ -119,16 +119,9 @@ def train_link_predictor_sharded(
     opt_state = tx.init(params)
 
     # the single-device production decoder (structured negatives, sorted
-    # scatter-free backward) shards too — same eligibility conditions as
-    # rgcn_tpu.train.link_prediction's structured_ok
-    structured_ok = (
-        backend == "pallas"
-        and cfg.decoder.bias_init is None
-        and (
-            cfg.decoder.l2_penalty == 0.0
-            or cfg.decoder.l2_penalty_type == "schlichtkrull-l2"
-        )
-    )
+    # scatter-free backward) shards too — shared eligibility predicate
+    # with rgcn_tpu.train.link_prediction
+    structured_ok = cfg.structured_decoder_ok(backend == "pallas")
     if structured_ok:
         step = make_sharded_lp_step_hosted_structured(
             model, tx, mesh,
@@ -160,10 +153,10 @@ def train_link_predictor_sharded(
             dropout_rng=np.random.default_rng((seed, epoch, 7)),
         )
         if structured_ok:
-            _b, _l, ch_, ce_ = corrupt_batch_host(
+            ch_, ce_ = corrupt_batch_host(
                 np.random.default_rng((seed, epoch, 11)),
                 positives, num_nodes, num_neg, head_prob,
-                return_structure=True,
+                structure_only=True,
             )
             from rgcn_tpu.dist.host import build_sharded_structured_host
 

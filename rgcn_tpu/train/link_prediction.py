@@ -381,16 +381,8 @@ def train_link_predictor(
     )
 
     # structured negative scoring (2.5x fewer query gathers; see
-    # ops/pallas_distmult.py) needs a bias-free schlichtkrull-or-off
-    # decoder and the Pallas backend
-    structured_ok = (
-        pallas_train_step
-        and cfg.decoder.bias_init is None
-        and (
-            cfg.decoder.l2_penalty == 0.0
-            or cfg.decoder.l2_penalty_type == "schlichtkrull-l2"
-        )
-    )
+    # ops/pallas_distmult.py) — shared predicate with the sharded driver
+    structured_ok = cfg.structured_decoder_ok(pallas_train_step)
 
     def sample_epoch(epoch):
         if batch_size >= len(train_np):

@@ -68,6 +68,7 @@ def corrupt_batch_host(
     num_negatives: int,
     head_prob: float,
     return_structure: bool = False,
+    structure_only: bool = False,
 ):
     """Host (NumPy) mirror of :func:`corrupt_batch` for the background
     epoch pipeline: drawing the negatives on host lets the pipeline also
@@ -75,16 +76,24 @@ def corrupt_batch_host(
     the scatter-free decoder backward (ops/pallas_distmult.py) — building
     those in-jit costs device sorts that outweigh the scatter they remove.
     Same process (repeat ns times, Bernoulli head/tail, uniform entity),
-    host RNG stream."""
+    host RNG stream.
+
+    ``structure_only=True`` returns just ``(corrupt_head, corrupt_ent)``
+    without assembling the batch/labels arrays — the structured scoring
+    paths rebuild neither, and the assembly is ~8 MB of dead host work
+    per epoch at WN18 scale. Draws the SAME rng stream as the full form.
+    """
     import numpy as np
 
     positives = np.asarray(positives)
     bsz = positives.shape[0]
-    expanded = np.repeat(positives, num_negatives, axis=0)
     corruptions = rng.integers(
         0, num_nodes, bsz * num_negatives
     ).astype(positives.dtype)
     corrupt_head = rng.random(bsz * num_negatives) < head_prob
+    if structure_only:
+        return corrupt_head, corruptions
+    expanded = np.repeat(positives, num_negatives, axis=0)
     s = np.where(corrupt_head, corruptions, expanded[:, 0])
     o = np.where(corrupt_head, expanded[:, 2], corruptions)
     negatives = np.stack([s, expanded[:, 1], o], axis=1)
