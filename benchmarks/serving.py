@@ -66,7 +66,9 @@ def main():
     params = model.init({"params": jax.random.key(0)}, edges, batch0)
 
     t0 = time.perf_counter()
-    srv = LinkPredictionServer(model, params, edges, max_batch=1024)
+    srv = LinkPredictionServer(
+        model, params, edges, max_batch=1024, known_triples=triples
+    )
     np.asarray(srv.z)  # force the encode to finish
     encode_s = time.perf_counter() - t0
     print(json.dumps({
@@ -76,23 +78,26 @@ def main():
     }), flush=True)
 
     rng = np.random.default_rng(0)
-    for bsz in (1, 16, 256, 1024):
-        sp = np.stack(
-            [rng.integers(0, num_nodes, bsz), rng.integers(0, num_rels, bsz)],
-            axis=1,
-        )
-        srv.topk_tails(sp, k=10)  # warm compile for this bucket
-        t0 = time.perf_counter()
-        for _ in range(args.calls):
-            srv.topk_tails(sp, k=10)
-        dt = (time.perf_counter() - t0) / args.calls
-        print(json.dumps({
-            "metric": "serving_topk_tails",
-            "batch": bsz,
-            "ms_per_call": round(dt * 1e3, 2),
-            "queries_per_s": round(bsz / dt, 1),
-            "candidates": num_nodes,
-        }), flush=True)
+    for filtered in (False, True):
+        for bsz in (1, 16, 256, 1024):
+            sp = np.stack(
+                [rng.integers(0, num_nodes, bsz),
+                 rng.integers(0, num_rels, bsz)],
+                axis=1,
+            )
+            srv.topk_tails(sp, k=10, filtered=filtered)  # warm this bucket
+            t0 = time.perf_counter()
+            for _ in range(args.calls):
+                srv.topk_tails(sp, k=10, filtered=filtered)
+            dt = (time.perf_counter() - t0) / args.calls
+            print(json.dumps({
+                "metric": "serving_topk_tails",
+                "filtered": filtered,
+                "batch": bsz,
+                "ms_per_call": round(dt * 1e3, 2),
+                "queries_per_s": round(bsz / dt, 1),
+                "candidates": num_nodes,
+            }), flush=True)
 
 
 if __name__ == "__main__":
