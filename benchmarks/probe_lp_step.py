@@ -24,7 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument(
+        "--only", default=None,
+        help="substring filter on result keys (skip other variants — each "
+             "variant is a separate multi-minute remote compile here)",
+    )
     args = ap.parse_args()
+
+    def want(name: str) -> bool:
+        return args.only is None or args.only in name
 
     from rgcn_tpu.utils.compile_cache import enable
 
@@ -117,22 +125,30 @@ def main():
         row_block=512, layout_chunk=256,
     )
 
+    # bwd_dtype variant: same params tree, narrow decoder backward
+    model_bf16 = model.clone(decoder_bwd_dtype="bfloat16")
+
     # --- 1) full production step (plain vs sorted corrupted-side bwd;
     # "_production" = what the trainer now builds: rb512 encoder layouts
-    # + all-512 structured layouts) ---
-    for tag, es_v, lays in (
-        ("", es_host, st_lays),
-        ("_sorted", es_host, st_lays_sorted),
-        ("_sorted_p512", es_host, st_lays_g1),
-        ("_sorted_all512", es_host, st_lays_g2),
-        ("_production", es_host_enc512, st_lays_g2),
+    # + all-512 structured layouts; "_production_bf16bwd" additionally
+    # narrows the decoder backward — config decoder.bwd_dtype) ---
+    for tag, es_v, lays, mdl in (
+        ("", es_host, st_lays, model),
+        ("_sorted", es_host, st_lays_sorted, model),
+        ("_sorted_p512", es_host, st_lays_g1, model),
+        ("_sorted_all512", es_host, st_lays_g2, model),
+        ("_production", es_host_enc512, st_lays_g2, model),
+        ("_production_bf16bwd", es_host_enc512, st_lays_g2, model_bf16),
     ):
+        if not want(f"full_step{tag}_ms"):
+            continue
+
         @jax.jit
-        def full_step(params, opt_state, _es=es_v, _lays=lays):
+        def full_step(params, opt_state, _es=es_v, _lays=lays, _m=mdl):
             def loss_fn(p):
-                scores, pen = model.apply(
+                scores, pen = _m.apply(
                     p, _es, pos0, ch_, ce_, pw, _lays,
-                    method=model.structured_scores,
+                    method=_m.structured_scores,
                 )
                 return (
                     optax.sigmoid_binary_cross_entropy(scores, labels).mean()
@@ -159,6 +175,9 @@ def main():
         row_block=512, layout_chunk=256,
     )
     for tag, es_v in (("", es_host), ("_rb512", es_host_512)):
+        if not want(f"encoder_step{tag}_ms"):
+            continue
+
         @jax.jit
         def enc_step(params, opt_state, _es=es_v):
             def loss_fn(p):
@@ -184,15 +203,24 @@ def main():
     dec_opt = optax.adam(0.01)
     dec_state = dec_opt.init((z0, rel0))
 
-    for tag, lays in (("", st_lays), ("_sorted", st_lays_sorted)):
+    for tag, lays, bdt in (
+        ("", st_lays, None),
+        ("_sorted", st_lays_sorted, None),
+        ("_sorted512_bf16", st_lays_g2, jnp.bfloat16),
+        ("_sorted512", st_lays_g2, None),
+    ):
+        if not want(f"decoder_step{tag}_ms"):
+            continue
+
         @jax.jit
-        def dec_step(zr, opt_state, z_in, _lays=lays):
+        def dec_step(zr, opt_state, z_in, _lays=lays, _bdt=bdt):
             z, rel = zr
 
             def loss_fn(zr):
                 z_, rel_ = zr
                 scores, pen = distmult_structured_agg_ad(
-                    pos0, ch_, ce_, z_ + z_in * 1e-9, rel_, pw, _lays
+                    pos0, ch_, ce_, z_ + z_in * 1e-9, rel_, pw, _lays,
+                    bwd_dtype=_bdt,
                 )
                 return (
                     optax.sigmoid_binary_cross_entropy(scores, labels).mean()
@@ -220,16 +248,19 @@ def main():
     def fwd_step(z_in, rel):
         return dec_fwd(z_in, rel), rel
 
-    results["decoder_fwd_ms"] = chain(
-        fwd_step,
-        lambda s: float(s[0].reshape(-1)[0]),
-        z0, rel0,
-    ) * 1e3
+    if not want("decoder_fwd_ms"):
+        results["decoder_fwd_ms"] = None
+    else:
+        results["decoder_fwd_ms"] = chain(
+            fwd_step,
+            lambda s: float(s[0].reshape(-1)[0]),
+            z0, rel0,
+        ) * 1e3
 
     import json
 
     for k_, v in results.items():
-        results[k_] = round(v, 3)
+        results[k_] = round(v, 3) if v is not None else None
     print(json.dumps(results))
 
 

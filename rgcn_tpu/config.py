@@ -116,6 +116,11 @@ class DecoderConfig:
     weight_init: str = "standard-normal"
     include_gain: bool = False
     bias_init: Optional[str] = None
+    # 'bfloat16' narrows the structured scorer's BACKWARD (gather table +
+    # residual reads; f32 accumulation). Forward scores are bit-identical;
+    # gradients lose mantissa — measured step speedup, opt-in until real-
+    # dataset metric neutrality is provable (no datasets in this image).
+    bwd_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,9 @@ class LinkPredictor(nn.Module):
     decoder_weight_init: str = "standard-normal"
     decoder_include_gain: bool = False
     decoder_bias_init: Optional[str] = None
+    # Narrow dtype ('bfloat16') for the structured decoder's backward only
+    # (see DistMult.bwd_dtype); forward scores stay bit-identical.
+    decoder_bwd_dtype: Optional[str] = None
     axis_name: Optional[str] = None
     # Mesh axes the *scoring batch* is sharded over; defaults to
     # ``axis_name``. On a 2-D (replica × edge) mesh the encoder reduces
@@ -126,6 +129,7 @@ class LinkPredictor(nn.Module):
             bias_init=self.decoder_bias_init,
             axis_name=self._decoder_axes(),
             backend=self.backend,
+            bwd_dtype=self.decoder_bwd_dtype,
         )
 
     def _make_conv(self, r_aug: int, din: int, dout: int) -> RGCNConv:
@@ -324,6 +328,7 @@ class CompressionRelationPredictor(LinkPredictor):
             bias_init=self.decoder_bias_init,
             axis_name=self._decoder_axes(),
             backend=self.backend,
+            bwd_dtype=self.decoder_bwd_dtype,
         )
 
     def encode(

@@ -444,6 +444,11 @@ class DistMult(nn.Module):
     # (ops/pallas_distmult.py) — the backward's two per-triple row
     # scatter-adds into d nodes become Pallas one-hot aggregations.
     backend: str = "auto"
+    # Optional narrow dtype (e.g. 'bfloat16') for the structured scorer's
+    # BACKWARD only — halves its gather-table and residual bytes, forward
+    # scores stay bit-identical, gradients lose mantissa (opt-in; see
+    # ops/pallas_distmult.py::distmult_structured_agg_ad).
+    bwd_dtype: Optional[str] = None
 
     def _fan(self, x):
         return maybe_fanout(x, self.axis_name)
@@ -529,6 +534,7 @@ class DistMult(nn.Module):
         return distmult_structured_agg_ad(
             positives, corrupt_head, corrupt_ent,
             fan(nodes), fan(self.relations), pw, layouts,
+            bwd_dtype=self.bwd_dtype,
         )
 
     def s_penalty(

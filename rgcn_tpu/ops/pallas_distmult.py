@@ -28,6 +28,7 @@ with biases — or without host layouts — use the plain XLA autodiff path.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -329,30 +330,33 @@ def _structured_fwd_impl(positives, corrupt_head, corrupt_ent, nodes,
     )
 
 
-@jax.custom_vjp
-def distmult_structured_agg_ad(
-    positives, corrupt_head, corrupt_ent, nodes, relations, pw, layouts
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _st_core(
+    positives, corrupt_head, corrupt_ent, nodes, relations, pw, layouts,
+    bwd_dtype,
 ):
-    """``(scores [positives; negatives], schlichtkrull penalty)`` for a
-    structured training batch, with the fully scatter-free backward.
-
-    ``layouts = (corrupt_layout, subj_layout, obj_layout)`` from
-    :func:`build_structured_layouts`; ``pw`` = per-row penalty weights
-    over the assembled batch (positives first)."""
     return _structured_fwd_impl(
         positives, corrupt_head, corrupt_ent, nodes, relations, pw
     )[0]
 
 
 def _st_fwd(positives, corrupt_head, corrupt_ent, nodes, relations, pw,
-            layouts):
+            layouts, bwd_dtype):
     out, res = _structured_fwd_impl(
         positives, corrupt_head, corrupt_ent, nodes, relations, pw
     )
+    if bwd_dtype is not None:
+        # The (P, ns, d) corrupted-entity rows are the largest residual and
+        # are consumed only by the backward's dense ns-reductions and row
+        # products — storing them narrow halves both the residual HBM and
+        # the backward's reads. Forward outputs above are computed at f32.
+        (positives_, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg) = res
+        res = (positives_, ch, zs, zo, rp, q, k, zc.astype(bwd_dtype),
+               pw_pos, pw_neg)
     return out, (res, nodes, relations.shape[0], layouts)
 
 
-def _st_bwd(res, g):
+def _st_bwd(bwd_dtype, res, g):
     (positives, ch, zs, zo, rp, q, k, zc, pw_pos, pw_neg), nodes, \
         num_rels, layouts = res
     c_lay, s_lay, o_lay = layouts[:3]
@@ -389,8 +393,13 @@ def _st_bwd(res, g):
         pwz = jnp.concatenate(
             [pw_neg.reshape(-1), jnp.zeros((1,), pw_neg.dtype)]
         )[perm]
+        # Narrow-backward option: gather cost tracks TABLE SIZE (CLAUDE.md
+        # / probe_gather5), so a bf16 table halves both the per-row gather
+        # latency class and the fused rows' VMEM bytes; the kernel still
+        # accumulates at f32 (preferred_element_type) into an f32 output.
+        tdt = q.dtype if bwd_dtype is None else jnp.dtype(bwd_dtype)
         table = jnp.concatenate(
-            [q, k, nodes.astype(q.dtype)], axis=0
+            [q.astype(tdt), k.astype(tdt), nodes.astype(tdt)], axis=0
         )  # (2P + N, d)
         cidx = jnp.concatenate(
             [jnp.asarray(qk_idx), jnp.asarray(ce_sorted) + 2 * p_count]
@@ -399,7 +408,8 @@ def _st_bwd(res, g):
         w2 = jnp.stack([ge, pc * pwz])  # (2, L)
         dz = weighted_aggregate_pallas(
             xg2, w2, c_lay, num_nodes, sum_bases=True,
-            compute_dtype=None, input_fusion=True,
+            compute_dtype=(None if bwd_dtype is None else tdt),
+            input_fusion=True,
         )[0]
     else:
         qk = jnp.where(ch[..., None], k[:, None, :], q[:, None, :])
@@ -444,4 +454,28 @@ def _st_bwd(res, g):
             None, None)
 
 
-distmult_structured_agg_ad.defvjp(_st_fwd, _st_bwd)
+_st_core.defvjp(_st_fwd, _st_bwd)
+
+
+def distmult_structured_agg_ad(
+    positives, corrupt_head, corrupt_ent, nodes, relations, pw, layouts,
+    bwd_dtype=None,
+):
+    """``(scores [positives; negatives], schlichtkrull penalty)`` for a
+    structured training batch, with the fully scatter-free backward.
+
+    ``layouts = (corrupt_layout, subj_layout, obj_layout)`` from
+    :func:`build_structured_layouts`; ``pw`` = per-row penalty weights
+    over the assembled batch (positives first).
+
+    ``bwd_dtype`` (e.g. ``jnp.bfloat16``) narrows the BACKWARD only: the
+    sorted two-table aggregation's ``[q ; k ; nodes]`` gather table and
+    the ``(P, ns, d)`` corrupted-row residual are stored/read at that
+    width (f32 accumulation throughout). The forward scores and penalty
+    are bit-identical to the f32 path; ``d nodes``/``d relations`` lose
+    mantissa — an opt-in speed/precision trade (config:
+    ``decoder.bwd_dtype``), default full f32."""
+    return _st_core(
+        positives, corrupt_head, corrupt_ent, nodes, relations, pw,
+        layouts, None if bwd_dtype is None else jnp.dtype(bwd_dtype),
+    )

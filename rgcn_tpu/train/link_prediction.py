@@ -82,6 +82,7 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int,
         decoder_weight_init=dec.weight_init,
         decoder_include_gain=dec.include_gain,
         decoder_bias_init=dec.bias_init,
+        decoder_bwd_dtype=dec.bwd_dtype,
     )
     common.update(extra)
     if enc.model == "rgcn":

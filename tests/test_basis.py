@@ -550,3 +550,23 @@ def test_distmult_structured_sorted_backward_exact():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+    # narrow-backward option (decoder.bwd_dtype): the forward is computed
+    # before any narrowing, so value/scores must stay BIT-identical; the
+    # gradients are the same sums over bf16-rounded rows — close at bf16
+    # tolerance, not equal.
+    def loss_bf16(nodes, rels, lays):
+        sc, pen = distmult_structured_agg_ad(
+            pos, ch, ce, nodes, rels, pw, lays, bwd_dtype=jnp.bfloat16
+        )
+        return jnp.sum(jnp.sin(sc)) + 3.0 * pen
+
+    for lays in (plain, srt):
+        vb, gb = jax.value_and_grad(loss_bf16, argnums=(0, 1))(
+            nodes, rels, lays
+        )
+        assert float(vb) == float(v0)  # forward unaffected by bwd_dtype
+        for a, b in zip(g0, gb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-2
+            )
