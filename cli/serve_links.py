@@ -53,6 +53,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tile-size", type=int, default=128)
     ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument(
+        "--exe-cache-dir", default=None,
+        help="directory for pinned compiled executables (HLO-hash keyed; "
+             "a server restart then skips every XLA compile). Defaults to "
+             "<checkpoint-dir>/.exe_cache on TPU backends; pass '' to "
+             "disable.",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -79,13 +86,25 @@ def main():
 
     data = load_lp_data(cfg, args.synthetic, data_root=args.data_root)
 
+    exe_cache_dir = args.exe_cache_dir
+    if exe_cache_dir is None and not args.cpu:
+        exe_cache_dir = os.path.join(args.checkpoint_dir, ".exe_cache")
+    elif exe_cache_dir == "":
+        exe_cache_dir = None
+
+    import time as _time
+
+    t0 = _time.time()
     srv = load_lp_server(
         cfg, data, args.checkpoint_dir, tile_size=args.tile_size,
-        max_batch=args.max_batch,
+        max_batch=args.max_batch, exe_cache_dir=exe_cache_dir,
     )
     if srv is None:
         ap.error(f"no checkpoint found under {args.checkpoint_dir}")
-    print(f"[serve] encoded {srv.num_nodes} nodes; top-k={args.topk}")
+    print(
+        f"[serve] encoded {srv.num_nodes} nodes in {_time.time() - t0:.1f}s "
+        f"(cold start incl. compile-or-load); top-k={args.topk}"
+    )
 
     i2n = data.i2n
 

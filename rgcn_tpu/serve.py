@@ -55,8 +55,10 @@ class LinkPredictionServer:
 
     def __init__(
         self, model, params, edges, max_batch: int = 1024,
-        known_triples=None,
+        known_triples=None, exe_cache_dir: Optional[str] = None,
     ):
+        from rgcn_tpu.utils.exe_cache import PinnedJit
+
         self._model = model
         self._params = params
         self._edges = edges
@@ -69,9 +71,14 @@ class LinkPredictionServer:
         self._pending_filters = known_triples
         # ONE jitted encode, reused by refresh() — a fresh jax.jit wrapper
         # per call would re-trace and recompile the whole encoder (minutes
-        # on remote backends) at every hot swap
-        self._encode = jax.jit(
-            lambda p, e: model.apply(p, e, method=model.encode)
+        # on remote backends) at every hot swap. With ``exe_cache_dir`` the
+        # compiled executables additionally persist across PROCESSES
+        # (HLO-hash keyed AOT serialization, utils/exe_cache.py): a server
+        # restart re-traces but skips every XLA compile — cold-start drops
+        # from compile-minutes to seconds.
+        self._encode = PinnedJit(
+            lambda p, e: model.apply(p, e, method=model.encode),
+            exe_cache_dir, tag="serve_encode",
         )
         self.z = self._encode(params, edges)  # (N, d), device-resident
         self.num_nodes = int(self.z.shape[0])
@@ -84,7 +91,7 @@ class LinkPredictionServer:
                 p, method=lambda m: m.scoring_function(triples, z)
             )
 
-        self._score_fn = jax.jit(_point)
+        self._score_fn = PinnedJit(_point, exe_cache_dir, tag="serve_score")
 
         @functools.lru_cache(maxsize=64)
         def _rank_fn(k: int, tails: bool, filter_width: int):
@@ -106,7 +113,11 @@ class LinkPredictionServer:
                     )
                 return jax.lax.top_k(scores, k)
 
-            return jax.jit(run)
+            return PinnedJit(
+                run, exe_cache_dir,
+                tag=f"serve_rank_k{k}_{'t' if tails else 'h'}"
+                    f"_w{filter_width}",
+            )
 
         self._rank_fn = _rank_fn
 
@@ -275,6 +286,7 @@ def load_lp_server(
     tile_size: int = 128,
     max_batch: int = 1024,
     feature_blocks: bool = False,
+    exe_cache_dir: Optional[str] = None,
 ) -> Optional[LinkPredictionServer]:
     """Build a serving endpoint from a training checkpoint.
 
@@ -329,7 +341,7 @@ def load_lp_server(
     )
     return LinkPredictionServer(
         model, restored["params"], edges, max_batch=max_batch,
-        known_triples=train_np,
+        known_triples=train_np, exe_cache_dir=exe_cache_dir,
     )
 
 

@@ -268,3 +268,45 @@ def test_load_lp_server_checkpoint_roundtrip(tmp_path):
 
     # absent checkpoint -> None
     assert load_lp_server(cfg, data, str(tmp_path / "nope")) is None
+
+
+def test_lp_server_pinned_executables_roundtrip(tmp_path):
+    """A server built with exe_cache_dir persists its compiled programs;
+    a second server (simulating a process restart) loads them from the
+    cache and answers identically to an uncached server."""
+    import pytest
+
+    rng = np.random.default_rng(9)
+    model, params, edges, triples = _lp_setup(rng)
+    plain = LinkPredictionServer(model, params, edges, max_batch=8)
+
+    cache = str(tmp_path / "exe")
+    srv1 = LinkPredictionServer(
+        model, params, edges, max_batch=8, exe_cache_dir=cache
+    )
+    sp = np.stack([triples[:5, 0], triples[:5, 1]], axis=1)
+    s1, e1 = srv1.topk_tails(sp, k=4)
+    sc1 = srv1.score(triples[:7])
+
+    import os
+
+    entries = [f for f in os.listdir(cache) if f.startswith("exe_")]
+    if not entries:
+        pytest.skip("backend does not support executable serialization")
+
+    # fresh server, same cache dir: encode/score/rank all load pinned
+    srv2 = LinkPredictionServer(
+        model, params, edges, max_batch=8, exe_cache_dir=cache
+    )
+    s2, e2 = srv2.topk_tails(sp, k=4)
+    sc2 = srv2.score(triples[:7])
+    sp_, ep_ = plain.topk_tails(sp, k=4)
+    scp = plain.score(triples[:7])
+
+    np.testing.assert_array_equal(np.asarray(srv1.z), np.asarray(srv2.z))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(sc1, sc2)
+    # and the pinned servers agree with the uncached one
+    np.testing.assert_allclose(s1, sp_, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(sc1, scp, rtol=1e-6, atol=1e-6)
