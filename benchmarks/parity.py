@@ -71,8 +71,13 @@ def dataset_available(cfg, root: str) -> bool:
     return False
 
 
-def run_config(cfg_path: str, root: str, epochs, repeats, final_run: bool):
-    """Train one config; returns (metric_name, value, extras)."""
+def run_config(cfg_path: str, root: str, epochs, repeats, final_run: bool,
+               bwd_dtype: str = None):
+    """Train one config; returns (metric_name, value, extras).
+
+    ``bwd_dtype`` overrides ``decoder.bwd_dtype`` on LP configs — the
+    knob for the narrow-backward metric-neutrality check (run the same
+    config with and without it and compare the final MRR)."""
     import dataclasses
 
     from rgcn_tpu.config import (
@@ -112,8 +117,20 @@ def run_config(cfg_path: str, root: str, epochs, repeats, final_run: bool):
     data = load_link_prediction(
         cfg.dataset.name, final_run=final_run, data_root=root
     )
+    pallas_step = host_build = None
+    if bwd_dtype is not None:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, bwd_dtype=bwd_dtype)
+        )
+        # bwd_dtype lives in the structured (Pallas, host-built-layouts)
+        # decoder; off-TPU the trainer would default to the XLA in-jit
+        # step and the knob would be a silent no-op — force the production
+        # path (interpret-mode kernels on CPU) so the neutrality check
+        # actually exercises it.
+        pallas_step = host_build = True
     mrr, hits, _, _ = train_link_predictor(
-        cfg, data, logger=logger, max_epochs=epochs
+        cfg, data, logger=logger, max_epochs=epochs,
+        pallas_train_step=pallas_step, host_graph_build=host_build,
     )
     return "mrr_filtered", mrr, {
         "hits@1": hits[0], "hits@3": hits[1], "hits@10": hits[2]
@@ -217,6 +234,9 @@ def main(argv=None) -> int:
     ap.add_argument("--fabricate", action="store_true",
                     help="generate mini datasets in a temp root and run at "
                          "3 epochs (harness self-test)")
+    ap.add_argument("--bwd-dtype", default=None,
+                    help="override decoder.bwd_dtype on LP configs (e.g. "
+                         "bfloat16) — the narrow-backward neutrality check")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
@@ -261,6 +281,7 @@ def main(argv=None) -> int:
             mname, value, extras = run_config(
                 cfg_path, root, epochs, repeats,
                 final_run=not args.validation,
+                bwd_dtype=args.bwd_dtype,
             )
             row = {"config": key, "status": "OK", "metric": mname,
                    "value": round(float(value), 4), "target": target,

@@ -32,6 +32,28 @@ def test_harness_skips_without_data(tmp_path):
 
 
 @pytest.mark.slow
+def test_bf16_decoder_backward_metric_neutral(tmp_path):
+    """decoder.bwd_dtype='bfloat16' (narrow structured-scorer backward,
+    ops/pallas_distmult.py) must not change WHETHER the model learns:
+    train the learnable fabricated LP dataset through the production
+    structured path with f32 and bf16 backwards and compare final MRR.
+    (Real-dataset neutrality still needs real datasets — BASELINE.md —
+    via `benchmarks/parity.py --bwd-dtype bfloat16`; this is the CI
+    stand-in. Measured here: f32 0.3044 vs bf16 0.3096.)"""
+    from benchmarks.parity import fabricate_datasets, run_config
+
+    root = str(tmp_path)
+    fabricate_datasets(root)
+    cfg = os.path.join(REPO, "configs", "rgcn", "lp-FB-toy.yaml")
+    _, mrr32, _ = run_config(cfg, root, 80, None, True,
+                             bwd_dtype="float32")
+    _, mrrbf, _ = run_config(cfg, root, 80, None, True,
+                             bwd_dtype="bfloat16")
+    assert mrr32 >= 0.15 and mrrbf >= 0.15  # both learn (floor, chance~0.078)
+    assert abs(mrrbf - mrr32) < 0.1  # and land in the same place
+
+
+@pytest.mark.slow
 def test_harness_runs_fabricated(tmp_path):
     out = _run(["--fabricate", "--only", "rgcn/nc-AIFB", "--json-out",
                 str(tmp_path / "r.json")])
