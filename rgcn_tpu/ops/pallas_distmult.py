@@ -474,7 +474,21 @@ def distmult_structured_agg_ad(
     width (f32 accumulation throughout). The forward scores and penalty
     are bit-identical to the f32 path; ``d nodes``/``d relations`` lose
     mantissa — an opt-in speed/precision trade (config:
-    ``decoder.bwd_dtype``), default full f32."""
+    ``decoder.bwd_dtype``), default full f32.
+
+    ``layouts=None``: layout-free mode for fully in-jit steps (no host
+    pipeline to build the sorted aggregation layouts, and building them
+    in-jit costs device sorts that outweigh the scatters they remove —
+    measured, see train/link_prediction.py). The forward is the SAME
+    structured expression — 3P + Ns query-row gathers instead of the
+    materialized batch's 3(P + Ns) — and the backward is plain JAX AD
+    (XLA scatter-adds over the structured row count). Forward scores are
+    bit-identical to the layout path; gradients agree to f32
+    reassociation (tests/test_basis.py)."""
+    if layouts is None:
+        return _structured_fwd_impl(
+            positives, corrupt_head, corrupt_ent, nodes, relations, pw
+        )[0]
     return _st_core(
         positives, corrupt_head, corrupt_ent, nodes, relations, pw,
         layouts, None if bwd_dtype is None else jnp.dtype(bwd_dtype),

@@ -43,7 +43,11 @@ from rgcn_tpu.ops.pallas_distmult import (
     build_batch_layouts,
     build_structured_layouts,
 )
-from rgcn_tpu.train.negative import corrupt_batch, corrupt_batch_host
+from rgcn_tpu.train.negative import (
+    corrupt_batch,
+    corrupt_batch_host,
+    negative_structure,
+)
 from rgcn_tpu.train.optim import make_optimizer
 from rgcn_tpu.train.samplers import select_sampler
 from rgcn_tpu.utils.logging import ScalarLogger
@@ -245,6 +249,22 @@ def train_link_predictor(
             pallas_train_step and jax.default_backend() == "tpu"
         )
 
+    # In-jit aggregation-layout row block, scaled to the subgraph like the
+    # hosted path's enc_rb: at mega-node scale the rb=128 default leaves a
+    # ceil(N/rb)*chunk block-minimum pad floor ~5x the subgraph's edges
+    # (N=1M, B=100k: ~1M slots vs ~213k edges), paid by the gather, the
+    # one-hot kernel AND the in-jit perm scatters — per step, since LP
+    # rebuilds the graph every epoch. Static (host) value: shapes stay
+    # epoch-independent.
+    from rgcn_tpu.graph.dynamic import auto_layout_row_block as _auto_rb
+
+    injit_row_block = _auto_rb(num_nodes, 2 * batch_size, chunk=tile_size)
+
+    # structured negative scoring (3P+Ns query gathers instead of the
+    # assembled batch's 3(P+Ns); see ops/pallas_distmult.py) — shared
+    # predicate with the sharded driver
+    structured_ok = cfg.structured_decoder_ok(pallas_train_step)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, positives, edges, hosted, key):
         k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
@@ -253,6 +273,18 @@ def train_link_predictor(
             # negatives (+ layouts for the scatter-free decoder backward)
             # precomputed in the background epoch pipeline
             labels, batch, batch_layouts, structured = hosted
+        elif structured_ok:
+            # fully in-jit epochs score structurally too — the LAYOUT-FREE
+            # structured mode (plain-AD backward; in-jit layout builds
+            # cost device sorts that outweigh the scatters they remove).
+            # negative_structure's draws are bit-identical to
+            # corrupt_batch's, so toggling host_graph_build keeps the
+            # negative schedule.
+            batch = batch_layouts = None
+            ce_ij, ch_ij, labels = negative_structure(
+                k_neg, positives, num_nodes, num_neg, head_prob
+            )
+            structured = (ch_ij, ce_ij, None)
         else:
             batch_layouts = None
             batch, labels = corrupt_batch(
@@ -267,6 +299,7 @@ def train_link_predictor(
                 dropout_rate=general_dropout,
                 dropout_key=k_drop,
                 with_dst_layout=pallas_train_step,
+                row_block=injit_row_block,
             )
         if structural_self:
             self_mask = jax.random.bernoulli(
@@ -380,10 +413,6 @@ def train_link_predictor(
         auto_layout_row_block,
         build_edge_set_dynamic_host,
     )
-
-    # structured negative scoring (2.5x fewer query gathers; see
-    # ops/pallas_distmult.py) — shared predicate with the sharded driver
-    structured_ok = cfg.structured_decoder_ok(pallas_train_step)
 
     def sample_epoch(epoch):
         if batch_size >= len(train_np):

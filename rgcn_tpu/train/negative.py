@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["negative_sampling", "corrupt_batch"]
+__all__ = ["negative_sampling", "negative_structure", "corrupt_batch"]
 
 
 def negative_sampling(
@@ -35,6 +35,38 @@ def negative_sampling(
     s = jnp.where(corrupt_head, corruptions, expanded[:, 0])
     o = jnp.where(corrupt_head, expanded[:, 2], corruptions)
     return jnp.stack([s, expanded[:, 1], o], axis=1)
+
+
+def negative_structure(
+    key: jax.Array,
+    positives: jax.Array,
+    num_nodes: int,
+    num_negatives: int,
+    head_prob: float,
+):
+    """The corruption STRUCTURE of :func:`negative_sampling` without
+    materializing the corrupted triples: ``(corrupt_ent (B*ns,),
+    corrupt_head (B*ns,) bool, labels (B + B*ns,))``, negatives
+    parent-major. Key usage (split + draw shapes) matches
+    :func:`negative_sampling` exactly, so the drawn corruptions are
+    bit-identical — feeds the structured scorer
+    (ops/pallas_distmult.py::distmult_structured_agg_ad), which gathers
+    3P + Ns query rows instead of the assembled batch's 3(P + Ns)."""
+    bsz = positives.shape[0]
+    k_ent, k_side = jax.random.split(key)
+    corrupt_ent = jax.random.randint(
+        k_ent, (bsz * num_negatives,), 0, num_nodes, dtype=positives.dtype
+    )
+    corrupt_head = jax.random.bernoulli(
+        k_side, head_prob, (bsz * num_negatives,)
+    )
+    labels = jnp.concatenate(
+        [
+            jnp.ones((bsz,), jnp.float32),
+            jnp.zeros((bsz * num_negatives,), jnp.float32),
+        ]
+    )
+    return corrupt_ent, corrupt_head, labels
 
 
 def corrupt_batch(

@@ -370,6 +370,45 @@ def test_distmult_structured_matches_assembled_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    # layout-free mode (layouts=None — fully in-jit steps, plain-AD
+    # backward): forward bit-identical to the layout path (same
+    # expression), gradients allclose to the oracle
+    def structured_free(nodes, rels):
+        return distmult_structured_agg_ad(
+            pos, ch, ce, nodes, rels, pw_j, None
+        )
+
+    sc_f, pen_f = structured_free(nodes, rels)
+    assert np.array_equal(np.asarray(sc_f), np.asarray(sc_s))
+    assert float(pen_f) == float(pen_s)
+    gf = jax.grad(lambda nz, rl: loss(structured_free, nz, rl),
+                  argnums=(0, 1))(nodes, rels)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_negative_structure_matches_sampling():
+    """negative_structure's draws are bit-identical to negative_sampling's
+    (same key split, same draw shapes), so the in-jit trainer's structured
+    branch keeps the exact negative schedule of the materialized path."""
+    from rgcn_tpu.train.negative import negative_sampling, negative_structure
+
+    rng = np.random.default_rng(21)
+    P, n, ns = 40, 100, 7
+    pos = jnp.asarray(np.stack([
+        rng.integers(0, n, P), rng.integers(0, 5, P), rng.integers(0, n, P)
+    ], axis=1))
+    key = jax.random.key(9)
+    neg = np.asarray(negative_sampling(key, pos, n, ns, 0.5))
+    ce, ch, labels = negative_structure(key, pos, n, ns, 0.5)
+    exp = np.repeat(np.asarray(pos), ns, axis=0)
+    s = np.where(np.asarray(ch), np.asarray(ce), exp[:, 0])
+    o = np.where(np.asarray(ch), exp[:, 2], np.asarray(ce))
+    assert np.array_equal(neg, np.stack([s, exp[:, 1], o], axis=1))
+    assert np.array_equal(np.asarray(labels),
+                          np.concatenate([np.ones(P), np.zeros(P * ns)]))
+
 
 def test_tile_gather_exact():
     from rgcn_tpu.ops.gather import tile_gather
