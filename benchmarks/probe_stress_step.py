@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Device-time attribution of the 1M-node in-jit LP step.
+
+`benchmarks/stress_lp.py`'s epoch wall on the tunneled backend floors at
+~0.19 s regardless of device-side changes — the floor is the per-epoch
+positives transfer (+ the ~23 ms fetch RPC), so epoch walls cannot A/B
+device work at this scale. This probe measures the STEP program itself
+with device-resident inputs via the async-chain method (bench.py):
+
+  * plain      — materialized [positives; negatives] batch scoring
+                 (3(P+Ns) query gathers; AD backward scatters),
+  * structured — layout-free structured scoring (3P+Ns gathers,
+                 ops/pallas_distmult.py::distmult_structured_agg_ad with
+                 layouts=None), the in-jit trainer's path since round 5.
+
+Both variants build the graph in-jit with the same auto row block, so
+the difference isolates the decoder. Steps are O(100 ms), so modest
+chain lengths are safe (the >=60-iteration rule is for sub-ms ops).
+
+    python benchmarks/probe_stress_step.py [--nodes 1000000] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--rels", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--ns", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="substring filter (each variant is a separate "
+                         "multi-minute remote compile)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from rgcn_tpu.utils.compile_cache import enable
+
+        enable()
+
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_kg
+    from rgcn_tpu.graph.dynamic import (
+        auto_layout_row_block,
+        build_edge_set_dynamic,
+    )
+    from rgcn_tpu.train.link_prediction import build_lp_model
+    from rgcn_tpu.train.negative import corrupt_batch, negative_structure
+    from rgcn_tpu.train.optim import make_optimizer
+
+    n, r, bsz, d, ns = args.nodes, args.rels, args.batch, args.dim, args.ns
+
+    cfg = load_experiment(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "rgcn", "lp-WN18.yaml",
+    ))
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(
+            cfg.encoder, node_embedding=d, hidden1_size=d
+        ),
+    )
+    model = build_lp_model(cfg, n, r)
+
+    pos_np = synthetic_kg(n, r, 2 * bsz, seed=7)[:bsz]
+    positives = jnp.asarray(np.asarray(pos_np, dtype=np.int64))
+
+    rb = auto_layout_row_block(n, 2 * bsz, chunk=128)
+    print(f"probe_stress: N={n} B={bsz} ns={ns} d={d} row_block={rb}",
+          flush=True)
+
+    tx = make_optimizer("adam", 0.01)
+
+    def make_step(structured: bool):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, positives, key):
+            k_neg, k_drop, k_sl = jax.random.split(key, 3)
+            edges = build_edge_set_dynamic(
+                positives, n, r, tile_size=128,
+                dropout_rate=0.5, dropout_key=k_drop,
+                with_dst_layout=True, row_block=rb,
+            )
+            if structured:
+                ce, ch, labels = negative_structure(
+                    k_neg, positives, n, ns, 0.5
+                )
+                total = labels.shape[0]
+                pw = jnp.full((total,), 1.0 / total, jnp.float32)
+
+                def loss_fn(p):
+                    scores, penalty = model.apply(
+                        p, edges, positives, ch, ce, pw, None,
+                        method=model.structured_scores,
+                        deterministic=False, rngs={"dropout": k_sl},
+                    )
+                    loss = optax.sigmoid_binary_cross_entropy(
+                        scores, labels).mean()
+                    return loss + cfg.decoder.l2_penalty * penalty
+            else:
+                batch, labels = corrupt_batch(k_neg, positives, n, ns, 0.5)
+
+                def loss_fn(p):
+                    scores, penalty = model.apply(
+                        p, edges, batch,
+                        deterministic=False, rngs={"dropout": k_sl},
+                    )
+                    loss = optax.sigmoid_binary_cross_entropy(
+                        scores, labels).mean()
+                    return loss + cfg.decoder.l2_penalty * penalty
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        return step
+
+    def fresh_state():
+        params = model.init(
+            {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+            build_edge_set_dynamic(positives, n, r, tile_size=128),
+            positives,
+        )
+        return params, tx.init(params)
+
+    def chain(step, iters):
+        params, opt_state = fresh_state()
+        key = jax.random.key(3)
+        # warm (compile)
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, positives, key)
+        float(loss)
+        print(f"  compile+first: {time.time() - t0:.1f}s", flush=True)
+
+        def run(k):
+            nonlocal params, opt_state
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    params, opt_state, loss = step(
+                        params, opt_state, positives, key
+                    )
+                float(loss)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (run(1 + iters) - run(1)) / iters
+
+    results = {}
+    for name, structured in (("plain", False), ("structured", True)):
+        if args.only and args.only not in name:
+            continue
+        dt = chain(make_step(structured), args.iters)
+        results[name] = round(dt * 1e3, 1)
+        print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
+
+    print(json.dumps({"what": "probe_stress_step", "nodes": n,
+                      "batch": bsz, "ns": ns, "dim": d, "row_block": rb,
+                      "ms_per_step": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

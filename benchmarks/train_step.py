@@ -148,6 +148,47 @@ def main():
     )
     results["lp_step_ms"] = round(t * 1e3, 3)
 
+    # --- LP step, in-jit STRUCTURED decoder (the trainer's in-jit path
+    # since round 5: layout-free structured scoring — 3P+Ns query gathers,
+    # plain-AD backward — plus the auto-scaled layout row block) ---
+    from rgcn_tpu.graph.dynamic import auto_layout_row_block as _arb
+    from rgcn_tpu.train.negative import negative_structure
+
+    _rb_ij = _arb(lp_n, 2 * lp_b, chunk=128)
+
+    @jax.jit
+    def lp_step_structured_injit(params, opt_state, key):
+        k_neg, k_drop, key = jax.random.split(key, 3)
+        ce, ch, labels = negative_structure(k_neg, pos0, lp_n, 10, 0.5)
+        pw = jnp.full((labels.shape[0],), 1.0 / labels.shape[0], jnp.float32)
+        edges = build_edge_set_dynamic(
+            pos0, lp_n, lp_r, tile_size=128,
+            dropout_rate=0.5, dropout_key=k_drop,
+            with_dst_layout=jax.default_backend() in ("tpu", "axon"),
+            row_block=_rb_ij,
+        )
+
+        def loss_fn(p):
+            scores, pen = model.apply(
+                p, edges, pos0, ch, ce, pw, None,
+                method=model.structured_scores,
+            )
+            return (
+                optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+                + 0.01 * pen
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, key
+
+    t = chain_time(
+        lp_step_structured_injit,
+        lambda s: float(jax.tree.leaves(s[0])[0].reshape(-1)[0]),
+        lp_params, lp_opt, jax.random.key(2), iters=args.iters,
+    )
+    results["lp_step_structured_injit_ms"] = round(t * 1e3, 3)
+
     # --- LP step with HOST-built graph + host negatives + host scoring
     # layouts (the production training path: everything overlaps device
     # execution in the epoch pipeline; decoder backward is scatter-free) ---
