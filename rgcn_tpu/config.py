@@ -120,6 +120,9 @@ class DecoderConfig:
     # residual reads; f32 accumulation). Forward scores are bit-identical;
     # gradients lose mantissa — measured step speedup, opt-in until real-
     # dataset metric neutrality is provable (no datasets in this image).
+    # Applies only to the HOST-LAYOUT structured path; the fully in-jit
+    # layout-free path has no sorted aggregation to narrow (a set value
+    # warns and is ignored there — see ops/pallas_distmult.py).
     bwd_dtype: Optional[str] = None
 
 

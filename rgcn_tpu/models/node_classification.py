@@ -74,6 +74,7 @@ class NodeClassifier(nn.Module):
                 weight_gain=True,
                 bias_init="zeros",
                 axis_name=self.axis_name,
+                backend=self.backend,
             )
 
     def __call__(self, edges: EdgeSet) -> jax.Array:

@@ -484,8 +484,19 @@ def distmult_structured_agg_ad(
     materialized batch's 3(P + Ns) — and the backward is plain JAX AD
     (XLA scatter-adds over the structured row count). Forward scores are
     bit-identical to the layout path; gradients agree to f32
-    reassociation (tests/test_basis.py)."""
+    reassociation (tests/test_basis.py). Layout-free mode has no sorted
+    aggregation to narrow, so ``bwd_dtype`` does not apply — a set value
+    warns and is ignored rather than silently changing semantics."""
     if layouts is None:
+        if bwd_dtype is not None:
+            import warnings
+
+            warnings.warn(
+                "distmult_structured_agg_ad: bwd_dtype only applies with "
+                "host-built layouts; layout-free (layouts=None) backward "
+                "is plain f32 AD — ignoring bwd_dtype",
+                stacklevel=2,
+            )
         return _structured_fwd_impl(
             positives, corrupt_head, corrupt_ent, nodes, relations, pw
         )[0]

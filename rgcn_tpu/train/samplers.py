@@ -35,15 +35,28 @@ def uniform_sampling(
 # vertex→incident-edges structure cache: the training loop calls the
 # sampler every epoch with the SAME triple array, and the incidence build
 # (argsort over 2E entries) dominates the per-epoch cost otherwise. Keyed
-# on (buffer address, shape) — stable for a live array object.
+# on (buffer address, shape) — stable for a live array object — and
+# verified on hit with a strided content fingerprint: a *different* graph
+# landing on a freed allocation with the same shape must rebuild, not
+# reuse stale structure.
 _INCIDENCE_CACHE: dict = {}
+
+
+def _fingerprint(triples: np.ndarray) -> bytes:
+    n = len(triples)
+    if n == 0:
+        return b""
+    idx = np.linspace(0, n - 1, num=min(n, 16)).astype(np.int64)
+    return np.ascontiguousarray(triples[idx]).tobytes()
 
 
 def _incidence(triples: np.ndarray, num_nodes: int):
     key = (triples.__array_interface__["data"][0], triples.shape, num_nodes)
     hit = _INCIDENCE_CACHE.get(key)
     if hit is not None:
-        return hit
+        fp, cached = hit
+        if fp == _fingerprint(triples):
+            return cached
     n_edges = len(triples)
     heads, tails = triples[:, 0], triples[:, 2]
     inc_idx = np.concatenate([heads, tails])
@@ -54,7 +67,7 @@ def _incidence(triples: np.ndarray, num_nodes: int):
     degrees = (starts[1:] - starts[:-1]).astype(np.int64)
     out = (inc_edge, starts, degrees)
     _INCIDENCE_CACHE.clear()  # keep exactly one graph resident
-    _INCIDENCE_CACHE[key] = out
+    _INCIDENCE_CACHE[key] = (_fingerprint(triples), out)
     return out
 
 
