@@ -46,7 +46,13 @@ except Exception:  # pragma: no cover
 
 from rgcn_tpu.graph.augment import inverse_triples
 
-__all__ = ["EdgeSet", "build_edge_set", "edge_normalization"]
+__all__ = [
+    "EdgeSet",
+    "SrcRelPairs",
+    "build_edge_set",
+    "build_src_rel_pairs",
+    "edge_normalization",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +99,14 @@ class EdgeSet:
     # the stale weights. (All in-repo producers attach it only to static
     # full-graph EdgeSets whose values never change after construction.)
     merged: Optional[object] = None
+    # Optional unique-(src, rel) pair index (:class:`SrcRelPairs`) for the
+    # featureless basis path: the per-edge message depends only on
+    # (src, rel), so parallel objects contract ONCE per unique pair and
+    # fan out through a cheap computed-table gather (RDF graphs average
+    # 2-3 edges per pair at AM scale). Unlike `merged`, this freezes only
+    # (src, rel) — `val` is applied after the fan-out, so runtime
+    # reweighting (dropout masks) stays exact.
+    pairs: Optional["SrcRelPairs"] = None
 
     @property
     def num_tiles(self) -> int:
@@ -109,23 +123,59 @@ class EdgeSet:
         }
 
 
+@dataclasses.dataclass(frozen=True)
+class SrcRelPairs:
+    """Unique ``(src, rel)`` pairs of an EdgeSet's real edges.
+
+    The featureless-basis message ``Σ_b comps[rel, b] · bases[b][src]``
+    is identical for every parallel edge sharing ``(src, rel)`` (RDF
+    subjects list many objects under one predicate, and the augmented
+    inverse direction symmetrically). Contracting once per unique pair
+    replaces the dominant ``(E, nb·dout)`` basis-row gather (and its
+    backward scatter) with a ``(U, nb·dout)`` one plus a cheap
+    ``(E, dout)`` gather from the computed pair-message table.
+
+    ``pair_src``/``pair_rel`` may be padded (repeating pair 0) so the
+    pair axis divides the checkpoint group size; ``edge_pair`` only ever
+    references real pairs, and pad *edges* point at pair 0 with
+    ``val == 0``.
+    """
+
+    pair_src: np.ndarray  # (U_pad,) int32
+    pair_rel: np.ndarray  # (U_pad,) int32
+    edge_pair: np.ndarray  # (E_pad,) int32
+    num_pairs: int  # real unique-pair count (<= U_pad)
+
+
 if _HAVE_JAX:
 
     def _edgeset_flatten(es: EdgeSet):
         children = (es.src, es.dst, es.rel, es.val, es.tile_rel, es.layout,
-                    es.reverse, es.fused, es.merged)
+                    es.reverse, es.fused, es.merged, es.pairs)
         aux = (es.num_nodes, es.num_rels, es.tile_size, es.num_edges)
         return children, aux
 
     def _edgeset_unflatten(aux, children):
-        src, dst, rel, val, tile_rel, layout, reverse, fused, merged = children
+        (src, dst, rel, val, tile_rel, layout, reverse, fused, merged,
+         pairs) = children
         num_nodes, num_rels, tile_size, num_edges = aux
         return EdgeSet(src, dst, rel, val, tile_rel,
                        num_nodes, num_rels, tile_size, num_edges, layout,
-                       reverse, fused, merged)
+                       reverse, fused, merged, pairs)
 
     jax.tree_util.register_pytree_node(
         EdgeSet, _edgeset_flatten, _edgeset_unflatten
+    )
+
+    def _pairs_flatten(p: SrcRelPairs):
+        return (p.pair_src, p.pair_rel, p.edge_pair), (p.num_pairs,)
+
+    def _pairs_unflatten(aux, children):
+        pair_src, pair_rel, edge_pair = children
+        return SrcRelPairs(pair_src, pair_rel, edge_pair, aux[0])
+
+    jax.tree_util.register_pytree_node(
+        SrcRelPairs, _pairs_flatten, _pairs_unflatten
     )
 
 
@@ -157,6 +207,38 @@ def edge_normalization(
     )
 
 
+def build_src_rel_pairs(es: EdgeSet, pad_multiple: int = 1024) -> SrcRelPairs:
+    """Unique-(src, rel) index over an EdgeSet's real edges.
+
+    Pad edges (``dst == num_nodes``) map to pair 0; their ``val == 0``
+    zeroes the fanned-out message. The pair axis is padded to a multiple
+    of ``pad_multiple`` (repeating pair 0) so checkpoint tile groups
+    divide it evenly.
+    """
+    real = es.dst < es.num_nodes
+    # int64 keys: numpy 2.0's int32 fancy indexing hits a ~300x slow path
+    key = es.rel.astype(np.int64) * (es.num_nodes + 1) + es.src
+    uniq, inv = np.unique(key[real], return_inverse=True)
+    num_pairs = int(uniq.shape[0])
+    u_pad = max(pad_multiple, -(-num_pairs // pad_multiple) * pad_multiple)
+
+    pair_src = np.zeros(u_pad, dtype=np.int64)
+    pair_rel = np.zeros(u_pad, dtype=np.int64)
+    pair_src[:num_pairs] = uniq % (es.num_nodes + 1)
+    pair_rel[:num_pairs] = uniq // (es.num_nodes + 1)
+    # pad pairs repeat pair 0 (never referenced by a real edge's slot
+    # unless pair 0 itself is, which is fine)
+
+    edge_pair = np.zeros(es.src.shape[0], dtype=np.int64)
+    edge_pair[real] = inv
+    return SrcRelPairs(
+        pair_src=pair_src.astype(np.int32),
+        pair_rel=pair_rel.astype(np.int32),
+        edge_pair=edge_pair.astype(np.int32),
+        num_pairs=num_pairs,
+    )
+
+
 def build_edge_set(
     triples: np.ndarray,
     num_nodes: int,
@@ -167,6 +249,7 @@ def build_edge_set(
     with_dst_layout: bool = False,
     prefer_native: bool = True,
     with_merged_layout: bool = False,
+    with_pair_index: bool = False,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -194,6 +277,8 @@ def build_edge_set(
         raise ValueError(f"triples must be (E, 3), got {triples.shape}")
 
     def _attach_merged(es: EdgeSet) -> EdgeSet:
+        if with_pair_index:
+            es = dataclasses.replace(es, pairs=build_src_rel_pairs(es))
         if not with_merged_layout:
             return es
         from rgcn_tpu.graph.coalesce import MERGED_MAX_RELS, build_merged_layout

@@ -45,6 +45,11 @@ __all__ = [
     "rel_spmm_featureless_basis",
 ]
 
+# Cap on the gathered-rows intermediate (elements) of the featureless
+# basis contraction; above it, tile groups run under jax.checkpoint.
+# Module-level so tests can exercise the grouped path on small graphs.
+_ELEM_BUDGET = 64_000_000
+
 
 def aggregate_messages(
     messages: jax.Array, dst: jax.Array, num_nodes: int
@@ -187,6 +192,11 @@ def rel_spmm_featureless_basis(
     memory: ``O(nb · N · dout)`` for the bases (what the parameters already
     cost) plus one tile of gathered rows — never ``O(R' · N · dout)``.
 
+    When the EdgeSet carries a unique-(src, rel) pair index
+    (:func:`rgcn_tpu.graph.structure.build_src_rel_pairs`), the
+    contraction runs once per unique pair instead of once per edge —
+    see the inline comment; outputs agree to f32 reassociation.
+
     Args:
       bases: ``(num_bases, N, dout)``; comps: ``(num_general_rels, num_bases)``
       (general relations only — the self row is handled by the caller).
@@ -197,7 +207,6 @@ def rel_spmm_featureless_basis(
 
     # (nb, N, dout) -> (N, nb, dout) rows so one gather serves all bases
     rows_by_node = jnp.swapaxes(bases, 0, 1)
-    c_t = comps[edges.tile_rel]  # (n_tiles, nb)
 
     # The gathered-rows intermediate is (E_pad, nb, dout) — gigabytes on
     # many-relation/many-basis graphs (AM: ~2.3M padded edges × 40 bases →
@@ -205,8 +214,43 @@ def rel_spmm_featureless_basis(
     # Above a budget, contract in tile groups under jax.checkpoint: the
     # messages (E_pad, dout) are the only thing kept; each group's gather
     # is recomputed in the backward.
-    _ELEM_BUDGET = 64_000_000
 
+    if edges.pairs is not None:
+        # Unique-(src, rel) pre-contraction: the per-edge message is
+        # identical across parallel edges sharing (src, rel) (AM scale:
+        # ~2.5 edges/pair), so contract once per unique pair — the wide
+        # (nb·dout) basis-row gather AND its backward scatter shrink by
+        # that factor; edges then fan out through a cheap (E, dout)
+        # gather from the computed pair-message table. `val` multiplies
+        # after the fan-out, so runtime reweighting (dropout masks)
+        # stays exact.
+        pi = edges.pairs
+        u_pad = pi.pair_src.shape[0]
+        c_u = comps[pi.pair_rel]  # (U_pad, nb)
+        if u_pad * nb * dout <= _ELEM_BUDGET:
+            rows = rows_by_node[pi.pair_src]  # (U_pad, nb, dout)
+            m = jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision)
+        else:
+            group = max(1, _ELEM_BUDGET // (nb * dout))
+            while u_pad % group:
+                group -= 1
+            src_g = pi.pair_src.reshape(u_pad // group, group)
+            c_g = c_u.reshape(u_pad // group, group, nb)
+
+            @jax.checkpoint
+            def per_group(args):
+                srcs, c = args
+                rows = rows_by_node[srcs]  # (group, nb, dout)
+                return jnp.einsum("gbo,gb->go", rows, c,
+                                  precision=precision)
+
+            m = jax.lax.map(per_group, (src_g, c_g)).reshape(u_pad, dout)
+        msgs = m[pi.edge_pair] * edges.val[:, None]
+        if aggregate is not None:
+            return aggregate(msgs, edges)
+        return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+
+    c_t = comps[edges.tile_rel]  # (n_tiles, nb)
     if n_tiles * tile * nb * dout <= _ELEM_BUDGET:
         rows = rows_by_node[edges.src].reshape(n_tiles, tile, nb, dout)
         msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)

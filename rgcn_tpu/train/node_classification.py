@@ -85,9 +85,20 @@ def train_node_classifier(
         num_bases=decomp.num_bases if decomp else 0,
         diag=rg.model == "e-rgcn",
     )
+    # Unique-(src, rel) pair index for the featureless many-basis first
+    # layer (AM: 40 bases): parallel edges contract once per pair
+    # (ops/spmm.py). Small-basis configs ride the aggregation-first
+    # Pallas kernel instead (nn/layers.py, nb <= 8).
+    pair_ok = (
+        rg.model == "rgcn"
+        and decomp is not None
+        and decomp.type == "basis"
+        and decomp.num_bases > 8
+    )
     edges = build_edge_set(
         data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
         with_dst_layout=True, with_merged_layout=merge_ok,
+        with_pair_index=pair_ok,
     )
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)

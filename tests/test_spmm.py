@@ -132,3 +132,72 @@ def test_featureless_basis_no_expansion_matches():
     w_full = np.einsum("rb,bio->rio", comps, bases)
     want = np.asarray(spmm.rel_spmm_featureless(es, jnp.asarray(w_full)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_featureless_basis_pair_index_exact(grouped, monkeypatch):
+    """Unique-(src, rel) pair pre-contraction == direct per-edge path:
+    forward AND gradients w.r.t. bases/comps (f32 allclose), including the
+    checkpoint tile-group regime (tiny element budget)."""
+    import jax
+
+    from rgcn_tpu.graph.structure import build_src_rel_pairs
+
+    rng = np.random.default_rng(9)
+    n, r, nb, dout = 30, 4, 5, 6
+    # duplicate many (src, rel) pairs so the dedup is actually exercised
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    if grouped:
+        monkeypatch.setattr(spmm, "_ELEM_BUDGET", 64)
+    es = build_edge_set(triples, n, r, tile_size=8)
+    es_p = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+    assert es_p.pairs is not None
+    assert es_p.pairs.num_pairs < es_p.num_edges  # dedup happened
+
+    def f(es_):
+        def loss(b, c):
+            out = spmm.rel_spmm_featureless_basis(es_, b, c)
+            return jnp.sum(out * out), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(bases, comps)
+        return val, out, grads
+
+    v0, out0, (gb0, gc0) = f(es)
+    v1, out1, (gb1, gc1) = f(es_p)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pair_index_exact_under_reweighting():
+    """The pair index freezes only (src, rel); replacing `val` (dropout
+    masking) must stay exact — unlike `merged`, which snapshots weights."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(10)
+    n, r, nb, dout = 20, 3, 4, 5
+    triples = make_random_triples(rng, 10, r, 60, unique=True)
+    bases = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    es_p = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+    mask = (rng.random(es_p.val.shape[0]) < 0.6).astype(np.float32)
+    new_val = jnp.asarray(np.asarray(es_p.val) * mask)
+    es_masked = _dc.replace(es_p, val=new_val)
+    es_plain = _dc.replace(es_p, val=new_val, pairs=None)
+
+    got = np.asarray(
+        spmm.rel_spmm_featureless_basis(es_masked, bases, comps)
+    )
+    want = np.asarray(
+        spmm.rel_spmm_featureless_basis(es_plain, bases, comps)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
