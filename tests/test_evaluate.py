@@ -125,3 +125,35 @@ def test_candidate_sweeps_match_per_triple_scores():
                 tails[i, cand], float(distmult_score(tt, nodes, rels)[0]),
                 rtol=1e-4, atol=1e-5,
             )
+
+
+def test_build_filters_matches_loop_oracle():
+    """The vectorized searchsorted build produces the same per-row filter
+    SETS as the Python dict-of-lists golden port (pad placement/width may
+    differ; pads are dropped by the -inf scatter)."""
+    from rgcn_tpu.train.evaluate import _build_filters_loop
+
+    rng = np.random.default_rng(6)
+    n, r = 40, 5
+    tri = np.stack(
+        [rng.integers(0, n, 600), rng.integers(0, r, 600),
+         rng.integers(0, n, 600)], axis=1,
+    )
+    tri = np.unique(tri, axis=0)
+    all_triples = {tuple(map(int, row)) for row in tri}
+    test = tri[rng.choice(len(tri), 50, replace=False)]
+
+    fast = build_filters(test, all_triples, n)
+    slow = _build_filters_loop(test, all_triples, n)
+    for a, b in ((fast.heads, slow.heads), (fast.tails, slow.tails)):
+        assert len(a) == len(b)
+        for i in range(len(a)):
+            assert set(a[i].tolist()) - {n} == set(b[i].tolist()) - {n}, i
+
+
+def test_build_filters_empty_and_missing_groups():
+    """Test triples whose (p,o)/(s,p) group is empty get all-pad rows."""
+    test = np.array([[7, 3, 8]])  # no such triples at all
+    f = build_filters(test, {(0, 0, 1)}, num_nodes=10)
+    assert set(f.heads[0].tolist()) == {10}
+    assert set(f.tails[0].tolist()) == {10}
