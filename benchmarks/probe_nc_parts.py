@@ -135,19 +135,21 @@ def main():
     # the per-grid-step overhead at nrb = N/128 = 2344 row blocks?
     from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
 
-    for rb_test in (512, 2048):
-        if args.only and "agg_rb" not in (args.only or ""):
-            if args.only and args.only not in f"agg_rb{rb_test}":
-                continue
+    import dataclasses as _dc
+
+    for rb_test, ch_test in ((512, 256), (2048, 256), (1024, 1024),
+                             (2048, 1024), (512, 2048), (1024, 2048)):
+        tag = f"agg_rb{rb_test}c{ch_test}_pre"
+        if args.only and args.only not in tag:
+            continue
         lay = jax.tree.map(
             jnp.asarray,
-            build_dst_layout(np.asarray(es.dst), n, row_block=rb_test),
+            build_dst_layout(np.asarray(es.dst), n, row_block=rb_test,
+                             chunk=ch_test),
         )
-        import dataclasses as _dc
-
         es_rb = _dc.replace(es, layout=lay)
         timed(
-            f"agg_rb{rb_test}_pre",
+            tag,
             lambda m, es_: aggregate_messages_ad(m, es_),
             msgs_pre, es_rb,
         )

@@ -238,6 +238,22 @@ class RGCNConv(nn.Module):
                 out = agg + self._masked_self(
                     self_msg, self_mask, deterministic
                 )
+            elif edges.pairs is not None:
+                # Many-basis featureful path (AM layer 2: nb=40, 10→11):
+                # precompute H = stack_b(X @ bases_b) and contract once per
+                # unique (src, rel) pair — the per-tile expanded-weight
+                # matmuls at narrow (din, dout) waste the MXU and measured
+                # ~9x slower at AM scale (ops/spmm.py::rel_spmm_basis_pairs)
+                agg = spmm_ops.rel_spmm_basis_pairs(
+                    edges, self._fan(x), self._fan(bases),
+                    self._fan(comps[:-1]),
+                    aggregate=self._aggregate_fn(edges),
+                )
+                agg = self._reduce(agg)
+                self_msg = x @ jnp.einsum("b,bio->io", comps[-1], bases)
+                out = agg + self._masked_self(
+                    self_msg, self_mask, deterministic
+                )
             else:
                 weights = jnp.einsum("rb,bio->rio", comps, bases)
                 out = self._dense_path(

@@ -43,6 +43,7 @@ __all__ = [
     "rel_spmm_block",
     "rel_spmm_featureless",
     "rel_spmm_featureless_basis",
+    "rel_spmm_basis_pairs",
 ]
 
 # Cap on the gathered-rows intermediate (elements) of the featureless
@@ -205,8 +206,14 @@ def rel_spmm_featureless_basis(
     n_tiles = edges.num_tiles
     nb, n_rows, dout = bases.shape
 
-    # (nb, N, dout) -> (N, nb, dout) rows so one gather serves all bases
-    rows_by_node = jnp.swapaxes(bases, 0, 1)
+    # Flat contiguous (N, nb*dout) gather table. Gathering (nb, dout)
+    # SLICES of the transposed bases lowers to per-slice strided
+    # descriptors — measured 203 ms for 590k rows at AM scale vs 15-19 ms
+    # for the same bytes as flat 1600-B rows (benchmarks/probe_nc_parts).
+    # The barrier stops XLA re-fusing the transpose into the gather.
+    table = jax.lax.optimization_barrier(
+        jnp.swapaxes(bases, 0, 1).reshape(n_rows, nb * dout)
+    )
 
     # The gathered-rows intermediate is (E_pad, nb, dout) — gigabytes on
     # many-relation/many-basis graphs (AM: ~2.3M padded edges × 40 bases →
@@ -225,26 +232,9 @@ def rel_spmm_featureless_basis(
         # after the fan-out, so runtime reweighting (dropout masks)
         # stays exact.
         pi = edges.pairs
-        u_pad = pi.pair_src.shape[0]
-        c_u = comps[pi.pair_rel]  # (U_pad, nb)
-        if u_pad * nb * dout <= _ELEM_BUDGET:
-            rows = rows_by_node[pi.pair_src]  # (U_pad, nb, dout)
-            m = jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision)
-        else:
-            group = max(1, _ELEM_BUDGET // (nb * dout))
-            while u_pad % group:
-                group -= 1
-            src_g = pi.pair_src.reshape(u_pad // group, group)
-            c_g = c_u.reshape(u_pad // group, group, nb)
-
-            @jax.checkpoint
-            def per_group(args):
-                srcs, c = args
-                rows = rows_by_node[srcs]  # (group, nb, dout)
-                return jnp.einsum("gbo,gb->go", rows, c,
-                                  precision=precision)
-
-            m = jax.lax.map(per_group, (src_g, c_g)).reshape(u_pad, dout)
+        m = _pair_contract(
+            table, comps, pi, nb, dout, precision=precision
+        )
         msgs = m[pi.edge_pair] * edges.val[:, None]
         if aggregate is not None:
             return aggregate(msgs, edges)
@@ -252,7 +242,7 @@ def rel_spmm_featureless_basis(
 
     c_t = comps[edges.tile_rel]  # (n_tiles, nb)
     if n_tiles * tile * nb * dout <= _ELEM_BUDGET:
-        rows = rows_by_node[edges.src].reshape(n_tiles, tile, nb, dout)
+        rows = table[edges.src].reshape(n_tiles, tile, nb, dout)
         msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
     else:
         group = max(1, _ELEM_BUDGET // (tile * nb * dout))
@@ -264,11 +254,71 @@ def rel_spmm_featureless_basis(
         @jax.checkpoint
         def per_group(args):
             src, c = args
-            rows = rows_by_node[src].reshape(group, tile, nb, dout)
+            rows = table[src].reshape(group, tile, nb, dout)
             return jnp.einsum("gebo,gb->geo", rows, c, precision=precision)
 
         msgs = jax.lax.map(per_group, (src_g, c_g))
     msgs = msgs.reshape(n_tiles * tile, dout) * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
+    return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+
+
+def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
+    """Per-unique-(src, rel) contraction ``m[u] = rows[u] · comps[rel_u]``
+    from a flat ``(N, nb·dout)`` gather table; checkpoint-grouped above
+    the element budget."""
+    u_pad = pi.pair_src.shape[0]
+    c_u = comps[pi.pair_rel]  # (U_pad, nb)
+    if u_pad * nb * dout <= _ELEM_BUDGET:
+        rows = table[pi.pair_src].reshape(u_pad, nb, dout)
+        return jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision)
+    group = max(1, _ELEM_BUDGET // (nb * dout))
+    while u_pad % group:
+        group -= 1
+    src_g = pi.pair_src.reshape(u_pad // group, group)
+    c_g = c_u.reshape(u_pad // group, group, nb)
+
+    @jax.checkpoint
+    def per_group(args):
+        srcs, c = args
+        rows = table[srcs].reshape(group, nb, dout)
+        return jnp.einsum("gbo,gb->go", rows, c, precision=precision)
+
+    return jax.lax.map(per_group, (src_g, c_g)).reshape(u_pad, dout)
+
+
+def rel_spmm_basis_pairs(
+    edges: EdgeSet,
+    x: jax.Array,
+    bases: jax.Array,
+    comps: jax.Array,
+    *,
+    precision: Optional[jax.lax.Precision] = None,
+    aggregate=None,
+) -> jax.Array:
+    """Featureful basis SpMM through the unique-(src, rel) pair index.
+
+    ``msg_e = val_e · Σ_b comps[rel_e, b] · (x[src_e] @ bases_b)`` depends
+    only on ``(src, rel)``, so precompute ``H[n] = stack_b(x[n] @ bases_b)``
+    (nb small MXU matmuls) and contract once per unique pair — the same
+    dedup + flat-row-gather structure as the featureless path. For
+    many-basis layers this replaces per-tile expanded-weight matmuls whose
+    narrow (din, dout) shapes waste the MXU (AM layer 2: din=10, dout=11).
+
+    Args:
+      x: ``(N, din)``; bases: ``(nb, din, dout)``;
+      comps: ``(num_general_rels, nb)`` (general relations only).
+    """
+    if edges.pairs is None:
+        raise ValueError("rel_spmm_basis_pairs requires edges.pairs")
+    nb, din, dout = bases.shape
+    n = x.shape[0]
+    h = jnp.einsum("ni,bio->nbo", x, bases, precision=precision)
+    table = jax.lax.optimization_barrier(h.reshape(n, nb * dout))
+    m = _pair_contract(table, comps, edges.pairs, nb, dout,
+                       precision=precision)
+    msgs = m[edges.pairs.edge_pair] * edges.val[:, None]
     if aggregate is not None:
         return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)

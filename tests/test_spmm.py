@@ -201,3 +201,68 @@ def test_pair_index_exact_under_reweighting():
         spmm.rel_spmm_featureless_basis(es_plain, bases, comps)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_featureful_basis_pairs_exact(grouped, monkeypatch):
+    """H-precompute pair path == expanded-weights dense path (featureful
+    basis): forward and gradients w.r.t. x/bases/comps."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n, r, nb, din, dout = 25, 4, 5, 6, 7
+    triples = make_random_triples(rng, 12, r, 80, unique=True)
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    bases = jnp.asarray(rng.normal(size=(nb, din, dout)).astype(np.float32))
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    if grouped:
+        monkeypatch.setattr(spmm, "_ELEM_BUDGET", 64)
+    es = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+
+    def loss_pairs(x_, b, c):
+        out = spmm.rel_spmm_basis_pairs(es, x_, b, c)
+        return jnp.sum(out * out), out
+
+    def loss_dense(x_, b, c):
+        w = jnp.einsum("rb,bio->rio", c, b)
+        out = spmm.rel_spmm(es, x_, w)
+        return jnp.sum(out * out), out
+
+    (v1, out1), g1 = jax.value_and_grad(
+        loss_pairs, argnums=(0, 1, 2), has_aux=True
+    )(x, bases, comps)
+    (v0, out0), g0 = jax.value_and_grad(
+        loss_dense, argnums=(0, 1, 2), has_aux=True
+    )(x, bases, comps)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_node_classifier_pairs_matches_no_pairs():
+    """NodeClassifier logits with the pair index == without (both layers
+    route through pair paths when present; nb > 8 forces the non-kernel
+    branches)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from rgcn_tpu.models import NodeClassifier
+
+    rng = np.random.default_rng(12)
+    n, r, c = 30, 4, 3
+    triples = make_random_triples(rng, 15, r, 90, unique=True)
+    es_p = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+    es = _dc.replace(es_p, pairs=None)
+
+    model = NodeClassifier(
+        num_nodes=n, num_relations=r, num_classes=c, hidden_size=8,
+        decomposition="basis", num_bases=10,
+    )
+    params = model.init(jax.random.key(0), es)
+    out_plain = np.asarray(model.apply(params, es))
+    out_pairs = np.asarray(model.apply(params, es_p))
+    np.testing.assert_allclose(out_pairs, out_plain, rtol=1e-4, atol=1e-5)
