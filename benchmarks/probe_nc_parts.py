@@ -190,6 +190,59 @@ def main():
         msgs_pre, es,
     )
 
+    # presorted pair fan-out: the fan-out gather + val weighting computed
+    # inside the aggregation kernel's input pipeline (nb=1 weighted
+    # aggregation over the computed pair-message table), replacing the
+    # materialize→permute round trip
+    from rgcn_tpu.ops.pallas_basis import weighted_aggregate_pallas
+
+    perm_np = np.asarray(es.layout.perm)
+    u_pad = pi.pair_src.shape[0]
+    ep_z = np.append(np.asarray(pi.edge_pair), u_pad).astype(np.int32)
+    ep_sorted = jnp.asarray(ep_z[perm_np])  # (L,) pads -> zero row of m_z
+    table2d = table2d_input  # (N, nb*dh) contiguous
+
+    def agg_pair_presorted(t, c, es_):
+        rows = t[pi.pair_src].reshape(u_pad, nb, dh)
+        m = jnp.einsum("ubo,ub->uo", rows, c[pi.pair_rel])
+        m_z = jnp.concatenate([m, jnp.zeros((1, dh), m.dtype)], axis=0)
+        val_z = jnp.concatenate(
+            [es_.val, jnp.zeros((1,), es_.val.dtype)]
+        )
+        rows_sorted = m_z[ep_sorted]
+        w = val_z[es_.layout.perm][None]
+        return weighted_aggregate_pallas(
+            rows_sorted, w, es_.layout, es_.num_nodes,
+            compute_dtype=jnp.bfloat16, input_fusion=True,
+        )[0]
+
+    timed("l1_pair_presorted_full", agg_pair_presorted, table2d, comps, es)
+    for rb_test, ch_test in ((512, 256), (1024, 1024)):
+        tag = f"l1_pair_presorted_rb{rb_test}c{ch_test}"
+        if args.only and args.only not in tag:
+            continue
+        lay = build_dst_layout(np.asarray(es.dst), n, row_block=rb_test,
+                               chunk=ch_test)
+        ep_s = jnp.asarray(ep_z[np.asarray(lay.perm)])
+        lay_j = jax.tree.map(jnp.asarray, lay)
+        es_rb = _dc.replace(es, layout=lay_j)
+
+        def agg_pp(t, c, es_, ep_s=ep_s):
+            rows = t[pi.pair_src].reshape(u_pad, nb, dh)
+            m = jnp.einsum("ubo,ub->uo", rows, c[pi.pair_rel])
+            m_z = jnp.concatenate([m, jnp.zeros((1, dh), m.dtype)], axis=0)
+            val_z = jnp.concatenate(
+                [es_.val, jnp.zeros((1,), es_.val.dtype)]
+            )
+            rows_sorted = m_z[ep_s]
+            w = val_z[es_.layout.perm][None]
+            return weighted_aggregate_pallas(
+                rows_sorted, w, es_.layout, es_.num_nodes,
+                compute_dtype=jnp.bfloat16, input_fusion=True,
+            )[0]
+
+        timed(tag, agg_pp, table2d, comps, es_rb)
+
     # layer-2 message stage variants (no aggregation)
     def msgs2_tile(x, b, c, es_):
         w = jnp.einsum("rb,bio->rio", c, b)  # (2R, dh, dc)

@@ -51,8 +51,12 @@ def main():
 
     t0 = time.time()
     triples = synthetic_kg(args.nodes, args.rels, args.edges, seed=9)
+    from rgcn_tpu.graph.structure import auto_nc_row_block
+
     es = build_edge_set(
-        triples, args.nodes, args.rels, tile_size=512, with_dst_layout=True
+        triples, args.nodes, args.rels, tile_size=512, with_dst_layout=True,
+        with_pair_index=True,
+        layout_row_block=auto_nc_row_block(args.nodes),
     )
     prep_s = time.time() - t0
 

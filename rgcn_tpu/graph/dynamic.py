@@ -69,7 +69,7 @@ def auto_layout_row_block(
     num_nodes: int,
     num_edges: int,
     chunk: int = 256,
-    max_row_block: int = 512,
+    max_row_block: int = 2048,
 ) -> int:
     """Pick the aggregation-layout row block for a (sub)graph's size.
 
@@ -80,7 +80,10 @@ def auto_layout_row_block(
     padding; measured −20% on the encoder step at rb=512,
     ``benchmarks/probe_lp_step.py``). Larger row blocks cut the floor but
     grow the kernel's one-hot matmul flops linearly, so escalate only
-    while the pad floor exceeds ~35% of the edges.
+    while the pad floor exceeds ~35% of the edges. WN18-scale subgraphs
+    stop at 512 (the swept production optimum, unchanged); the 2048 cap
+    exists for mega-node graphs (N=1M/B=100k: rb=512 left a 250k-slot
+    floor ≈ 1.3× the subgraph's edges; 2048 cuts it to ~63k).
     """
     rb = 128
     while rb < max_row_block and (

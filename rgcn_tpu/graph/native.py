@@ -177,6 +177,8 @@ def build_edge_set_native(
     tile_size: int = 128,
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
+    layout_row_block=None,
+    layout_chunk=None,
 ):
     """Native-accelerated :func:`rgcn_tpu.graph.structure.build_edge_set`.
 
@@ -267,7 +269,12 @@ def build_edge_set_native(
         from rgcn_tpu.graph.structure import _assemble_edge_set
         from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
 
-        layout = build_dst_layout(dst, num_nodes)
+        kw = {}
+        if layout_row_block is not None:
+            kw["row_block"] = layout_row_block
+        if layout_chunk is not None:
+            kw["chunk"] = layout_chunk
+        layout = build_dst_layout(dst, num_nodes, **kw)
         # reverse structure for the Pallas VJP: swap src/dst on the real
         # edges, keep the forward normalization values
         real = val > 0
@@ -280,6 +287,7 @@ def build_edge_set_native(
             r_rel[r_order].astype(np.int64),
             r_val[r_order],
             num_nodes, num_general, tile_size, tile_multiple, True,
+            layout_row_block=layout_row_block, layout_chunk=layout_chunk,
         )
         from rgcn_tpu.ops.pallas_fused import build_fused_layout
 

@@ -49,6 +49,7 @@ from rgcn_tpu.graph.augment import inverse_triples
 __all__ = [
     "EdgeSet",
     "SrcRelPairs",
+    "auto_nc_row_block",
     "build_edge_set",
     "build_src_rel_pairs",
     "edge_normalization",
@@ -239,6 +240,22 @@ def build_src_rel_pairs(es: EdgeSet, pad_multiple: int = 1024) -> SrcRelPairs:
     )
 
 
+def auto_nc_row_block(num_nodes: int, chunk: int = 256) -> int:
+    """Aggregation-layout row block for STATIC full-graph (NC) EdgeSets.
+
+    Measured on AM-scale narrow-output aggregation (dout=10, 1.6M slots,
+    ``benchmarks/probe_nc_parts.py``): the rb=128 default costs 280-355 ms
+    vs 76-83 ms at rb>=512 — per-row-block overhead dominates when
+    ``N / rb`` is thousands of blocks. Escalate until the block count is
+    ~<=640 (capped at 2048); small graphs keep rb=128 (the swept optimum
+    at WN18 scale).
+    """
+    rb = 128
+    while rb < 2048 and -(-num_nodes // rb) > 640:
+        rb *= 2
+    return rb
+
+
 def build_edge_set(
     triples: np.ndarray,
     num_nodes: int,
@@ -250,6 +267,8 @@ def build_edge_set(
     prefer_native: bool = True,
     with_merged_layout: bool = False,
     with_pair_index: bool = False,
+    layout_row_block: Optional[int] = None,
+    layout_chunk: Optional[int] = None,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
 
@@ -302,6 +321,7 @@ def build_edge_set(
             es = _native.build_edge_set_native(
                 triples, num_nodes, num_rels, tile_size=tile_size,
                 tile_multiple=tile_multiple, with_dst_layout=with_dst_layout,
+                layout_row_block=layout_row_block, layout_chunk=layout_chunk,
             )
             if es is not None:
                 return _attach_merged(es)
@@ -326,7 +346,8 @@ def build_edge_set(
 
     es = _assemble_edge_set(
         src, dst, rel, val, num_nodes, num_general, tile_size, tile_multiple,
-        with_dst_layout,
+        with_dst_layout, layout_row_block=layout_row_block,
+        layout_chunk=layout_chunk,
     )
     if with_dst_layout:
         from rgcn_tpu.ops.pallas_fused import build_fused_layout
@@ -338,6 +359,7 @@ def build_edge_set(
         rev = _assemble_edge_set(
             dst[r_order], src[r_order], rel[r_order], val[r_order],
             num_nodes, num_general, tile_size, tile_multiple, True,
+            layout_row_block=layout_row_block, layout_chunk=layout_chunk,
         )
         rev = dataclasses.replace(rev, fused=build_fused_layout(rev))
         es = dataclasses.replace(
@@ -356,6 +378,8 @@ def _assemble_edge_set(
     tile_size: int,
     tile_multiple: int = 1,
     with_dst_layout: bool = False,
+    layout_row_block: Optional[int] = None,
+    layout_chunk: Optional[int] = None,
 ) -> EdgeSet:
     """Tile-pad pre-sorted (by relation) edge arrays into an EdgeSet."""
     # Pad each relation segment to a multiple of tile_size.
@@ -394,7 +418,12 @@ def _assemble_edge_set(
     if with_dst_layout:
         from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
 
-        layout = build_dst_layout(dst_p, num_nodes)
+        kw = {}
+        if layout_row_block is not None:
+            kw["row_block"] = layout_row_block
+        if layout_chunk is not None:
+            kw["chunk"] = layout_chunk
+        layout = build_dst_layout(dst_p, num_nodes, **kw)
 
     return EdgeSet(
         src=src_p,

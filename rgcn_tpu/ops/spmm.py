@@ -50,6 +50,11 @@ __all__ = [
 # basis contraction; above it, tile groups run under jax.checkpoint.
 # Module-level so tests can exercise the grouped path on small graphs.
 _ELEM_BUDGET = 64_000_000
+# The pair paths dedup the intermediate ~2.5x AND the lax.map grouping
+# measured ~600 ms of overhead at AM scale (l1 fwd 727 ms grouped vs
+# ~115 ms composed ungrouped pieces, probe_stress_nc round 4) — allow a
+# 1 GB f32 intermediate before grouping kicks in.
+_PAIR_ELEM_BUDGET = 256_000_000
 
 
 def aggregate_messages(
@@ -270,10 +275,10 @@ def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
     the element budget."""
     u_pad = pi.pair_src.shape[0]
     c_u = comps[pi.pair_rel]  # (U_pad, nb)
-    if u_pad * nb * dout <= _ELEM_BUDGET:
+    if u_pad * nb * dout <= _PAIR_ELEM_BUDGET:
         rows = table[pi.pair_src].reshape(u_pad, nb, dout)
         return jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision)
-    group = max(1, _ELEM_BUDGET // (nb * dout))
+    group = max(1, _PAIR_ELEM_BUDGET // (nb * dout))
     while u_pad % group:
         group -= 1
     src_g = pi.pair_src.reshape(u_pad // group, group)

@@ -95,10 +95,13 @@ def train_node_classifier(
         and decomp.type == "basis"
         and decomp.num_bases > 8
     )
+    from rgcn_tpu.graph.structure import auto_nc_row_block
+
     edges = build_edge_set(
         data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
         with_dst_layout=True, with_merged_layout=merge_ok,
         with_pair_index=pair_ok,
+        layout_row_block=auto_nc_row_block(data.num_nodes),
     )
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)

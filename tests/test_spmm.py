@@ -152,6 +152,7 @@ def test_featureless_basis_pair_index_exact(grouped, monkeypatch):
 
     if grouped:
         monkeypatch.setattr(spmm, "_ELEM_BUDGET", 64)
+        monkeypatch.setattr(spmm, "_PAIR_ELEM_BUDGET", 64)
     es = build_edge_set(triples, n, r, tile_size=8)
     es_p = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
     assert es_p.pairs is not None
@@ -217,7 +218,7 @@ def test_featureful_basis_pairs_exact(grouped, monkeypatch):
     comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
 
     if grouped:
-        monkeypatch.setattr(spmm, "_ELEM_BUDGET", 64)
+        monkeypatch.setattr(spmm, "_PAIR_ELEM_BUDGET", 64)
     es = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
 
     def loss_pairs(x_, b, c):
