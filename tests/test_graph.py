@@ -123,3 +123,31 @@ def test_edge_set_preserves_duplicates():
     es = build_edge_set(triples, 2, 1, tile_size=4, add_inverses=False)
     real = es.val[es.val > 0]
     np.testing.assert_allclose(real, [0.5, 0.5])
+
+
+def test_layout_geometry_plumbed_through_builders():
+    """layout_row_block/layout_chunk must reach BOTH the forward and
+    reverse dst layouts, in the native and NumPy builder paths alike."""
+    import numpy as np
+
+    from rgcn_tpu.graph.structure import auto_nc_row_block, build_edge_set
+    from tests.conftest import make_random_triples
+
+    rng = np.random.default_rng(5)
+    triples = make_random_triples(rng, 30, 3, 100)
+    for prefer_native in (False, True):
+        es = build_edge_set(
+            triples, 30, 3, tile_size=8, with_dst_layout=True,
+            prefer_native=prefer_native,
+            layout_row_block=16, layout_chunk=32,
+        )
+        assert es.layout.row_block == 16 and es.layout.chunk == 32
+        assert es.reverse.layout.row_block == 16
+        assert es.reverse.layout.chunk == 32
+
+    # the NC policy: small graphs keep the swept 128 default; block count
+    # bounded at ~640 for large node sets, capped at 2048
+    assert auto_nc_row_block(8_285) == 128      # AIFB
+    assert auto_nc_row_block(40_943) == 128     # WN18-size
+    assert auto_nc_row_block(300_000) == 512    # AM
+    assert auto_nc_row_block(10_000_000) == 2048
