@@ -137,15 +137,18 @@ def test_host_builder_matches_traced_builder():
 
 def test_auto_layout_row_block():
     """Row-block escalation: small subgraphs over large node sets escalate
-    (WN18 per-epoch: 60k edges / 40.9k nodes -> 512); edge-dominant graphs
-    stay at 128; stress scale lands between."""
+    (WN18 per-epoch: 60k edges / 40.9k nodes -> 512, the swept production
+    optimum); edge-dominant graphs stay at 128; mega-node graphs ride the
+    2048 cap (1M nodes / 200k edges: rb=512's 250k-slot block-minimum pad
+    floor drops to ~63k — measured 184.6 -> 163.7 ms/step,
+    benchmarks/probe_stress_step.py)."""
     from rgcn_tpu.graph.dynamic import auto_layout_row_block
 
     assert auto_layout_row_block(40_943, 60_000) == 512
-    assert auto_layout_row_block(1_000_000, 200_000) == 512
+    assert auto_layout_row_block(1_000_000, 200_000) == 2048
     assert auto_layout_row_block(40_943, 600_000) == 128
     # pad floor monotonically shrinks with rb; result always a power of
-    # two in [128, 512]
+    # two in [128, 2048]
     for n, e in ((100, 10), (10_000, 10_000), (500_000, 5_000_000)):
         rb = auto_layout_row_block(n, e)
-        assert rb in (128, 256, 512)
+        assert rb in (128, 256, 512, 1024, 2048)
