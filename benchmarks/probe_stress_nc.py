@@ -5,20 +5,24 @@
 backend track tunnel health, not device work (CLAUDE.md). This probe
 measures the full-batch NC STEP program (featureless 40-basis layer 1 +
 featureful basis layer 2, CE + layer-1 L2, adam) with device-resident
-inputs via the async-chain method, A/B-ing the featureless-basis message
-path:
+inputs via the async-chain method, across step variants (plain per-edge
+vs pair pre-contraction, bf16 vs f32 gather tables, composed-vs-explicit
+fan-out, forward-only / optimizer / penalty ablations, forward pieces).
 
-  * plain — per-edge tile-group contraction of gathered basis rows
-            (the (E, nb, dout) gather under jax.checkpoint),
-  * pairs — unique-(src, rel) pre-contraction (graph/structure.py::
-            build_src_rel_pairs): ~2.5x fewer wide-row gathers and
-            backward scatter rows at this scale, plus a cheap (E, dout)
-            fan-out gather from the computed pair-message table.
+**Methodology (round 7, hard-won): at this scale only INTERLEAVED chains
+(--ab a,b,...) can compare variants.** A single chain spans tens of
+seconds — long enough that cross-tenant congestion bursts on the
+tunneled chip land entirely inside one variant's window: one-shot chains
+measured a forward-only program at 2.3-3.4x its OWN full training step
+(fwd 2628.6 vs step 1129.0 ms, same process), and the same step program
+spread 595-1455 ms across processes (compile-draw + congestion).
+--ab compiles every variant up front, alternates short/long chains
+across them for --rounds rounds, and reports per-variant MINs — the only
+comparison that survived sign-flips here. One-shot chains remain for
+absolute single-variant floors on a believed-quiet tunnel.
 
-Steps are O(100 ms); modest chain lengths are safe (the >=60-iteration
-rule is for sub-ms ops).
-
-    python benchmarks/probe_stress_nc.py [--iters 8] [--only pairs]
+    python benchmarks/probe_stress_nc.py --ab pairs,pairs_f32 --rounds 5
+    python benchmarks/probe_stress_nc.py --only pairs   # one-shot floor
 """
 
 from __future__ import annotations
@@ -47,6 +51,15 @@ def main():
     ap.add_argument("--only", default=None,
                     help="substring filter (each variant is a separate "
                          "multi-minute remote compile)")
+    ap.add_argument("--parts", action="store_true",
+                    help="also run the separate-jit component probes "
+                         "(unreliable on the tunnel; see inline comment)")
+    ap.add_argument("--ab", default=None,
+                    help="comma list of variant names to A/B with "
+                         "INTERLEAVED chains (the only trustworthy "
+                         "cross-variant comparison at this scale)")
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="interleaved A/B rounds")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -76,10 +89,23 @@ def main():
 
     es_pairs = build_edge_set(
         triples, args.nodes, args.rels, tile_size=512,
-        with_dst_layout=True, with_pair_index=True,
+        with_dst_layout=True, with_pair_index=True, with_pair_agg=True,
         layout_row_block=auto_nc_row_block(args.nodes),
     )
     es_plain = dataclasses.replace(es_pairs, pairs=None)
+    # pair path WITHOUT the composed aggregation (explicit fan-out +
+    # sorted-permutation aggregation — the pre-round-7 path)
+    es_noagg = dataclasses.replace(
+        es_pairs, pairs=dataclasses.replace(es_pairs.pairs, agg=None)
+    )
+    # pairs sorted by (src, rel): the wide basis-table gather reads
+    # ascending rows (streaming) at the cost of fan-out locality on the
+    # small computed table
+    from rgcn_tpu.graph.structure import build_src_rel_pairs
+
+    es_srcsort = dataclasses.replace(
+        es_pairs, pairs=build_src_rel_pairs(es_pairs, order="src")
+    )
     print(
         f"probe_stress_nc: N={args.nodes} R={args.rels} "
         f"E={es_pairs.num_edges} pairs={es_pairs.pairs.num_pairs} "
@@ -99,21 +125,136 @@ def main():
     )
     tx = make_optimizer("adam", 0.01)
 
-    @jax.jit
-    def step(params, opt_state, es):
-        def loss_fn(p):
-            logits = model.apply(p, es)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits[idx], lbl
-            ).mean() + 5e-4 * model.layer1_l2(p)
+    def loss_fn(p, es, with_l2=True):
+        logits = model.apply(p, es)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits[idx], lbl
+        ).mean()
+        if with_l2:
+            loss = loss + 5e-4 * model.layer1_l2(p)
+        return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, upd), new_opt, loss
+    def make_step(opt=tx, with_l2=True):
+        @jax.jit
+        def step(params, opt_state, es):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, es, with_l2)
+            )(params)
+            upd, new_opt = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), new_opt, loss
 
-    def chain(es, iters):
+        return step
+
+    def _perturb(params, loss):
+        leaves, treedef = jax.tree.flatten(params)
+        i = min(range(len(leaves)), key=lambda j: leaves[j].size)
+        leaves[i] = leaves[i] + loss.astype(leaves[i].dtype) * 1e-12
+        return jax.tree.unflatten(treedef, leaves)
+
+    def make_fwd_step(with_l2=True):
+        """Forward-only chained step: no grad, no optimizer. Data
+        dependence rides the loss back into one param leaf (bounded, like
+        bench.py::_make_step) so chained calls serialize honestly."""
+
+        @jax.jit
+        def step(params, opt_state, es):
+            loss = loss_fn(params, es, with_l2)
+            return _perturb(params, loss), opt_state, loss
+
+        return step
+
+    def make_expr_step(expr):
+        """Chained step around an arbitrary scalar expression of
+        (params, es) — forward-piece attribution with the same chained
+        methodology as the step variants (separate-jit sync probes are
+        NOT comparable on this tunnel)."""
+
+        @jax.jit
+        def step(params, opt_state, es):
+            loss = expr(params, es)
+            return _perturb(params, loss), opt_state, loss
+
+        return step
+
+    # --- forward-piece expressions (layer-1 featureless basis path) ---
+    def _table(params):
+        b = params["params"]["rgc1"]["bases"]
+        return jax.lax.optimization_barrier(
+            jnp.swapaxes(b, 0, 1).reshape(b.shape[1], -1)
+        )
+
+    def expr_l2pen(params, es):
+        return model.layer1_l2(params)
+
+    def expr_tbuild(params, es):
+        return jnp.sum(_table(params))
+
+    def expr_gather_contract(params, es):
+        from rgcn_tpu.ops import spmm as _spmm
+
+        t = _table(params)
+        c = params["params"]["rgc1"]["comps"][:-1]
+        m = _spmm._pair_contract(
+            t, c, es.pairs, args.bases, args.hidden
+        )
+        return jnp.sum(m)
+
+    def expr_l1full(params, es):
+        from rgcn_tpu.nn.layers import RGCNConv as _Conv
+
+        conv1 = _Conv(
+            num_nodes=args.nodes, num_relations=2 * args.rels + 1,
+            in_features=None, out_features=args.hidden,
+            decomposition="basis", num_bases=args.bases,
+        )
+        return jnp.sum(
+            conv1.apply({"params": params["params"]["rgc1"]}, es)
+        )
+
+    def expr_l1full_l2(params, es):
+        return expr_l1full(params, es) + 5e-4 * model.layer1_l2(params)
+
+    def expr_gc_mat(params, es):
+        # like expr_gather_contract but with a barrier AFTER the gather:
+        # forces one contiguous (U, nb*dout) gather pass instead of
+        # letting XLA fuse the gather into the contraction (per-element
+        # strided loads)
+        t = _table(params)
+        c = params["params"]["rgc1"]["comps"][:-1]
+        pi = es.pairs
+        rows = jax.lax.optimization_barrier(t[pi.pair_src])
+        c_u = c[pi.pair_rel]
+        m = jnp.einsum(
+            "ubo,ub->uo",
+            rows.reshape(-1, args.bases, args.hidden), c_u,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(m)
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def force_f32_pair_tables():
+        """Override the TPU bf16 gather-table default (A/B knob)."""
+        from rgcn_tpu.ops import spmm as _spmm
+
+        orig_fl = _spmm.rel_spmm_featureless_basis
+        orig_ff = _spmm.rel_spmm_basis_pairs
+        _spmm.rel_spmm_featureless_basis = lambda *a, **k: orig_fl(
+            *a, **{**k, "compute_dtype": None}
+        )
+        _spmm.rel_spmm_basis_pairs = lambda *a, **k: orig_ff(
+            *a, **{**k, "compute_dtype": None}
+        )
+        try:
+            yield
+        finally:
+            _spmm.rel_spmm_featureless_basis = orig_fl
+            _spmm.rel_spmm_basis_pairs = orig_ff
+
+    def chain(step, es, iters, opt=tx):
         params = model.init(jax.random.key(0), es)
-        opt_state = tx.init(params)
+        opt_state = opt.init(params)
         t0 = time.time()
         params, opt_state, loss = step(params, opt_state, es)
         print(f"  compile+first: {time.time() - t0:.1f}s "
@@ -132,18 +273,154 @@ def main():
 
         return (run(1 + iters) - run(1)) / iters
 
+    sgd = make_optimizer("sgd", 0.01)
+    # (builder, EdgeSet, optimizer, force-f32-tables?) per variant:
+    # pairs/plain = production step (bf16 tables on TPU since round 6);
+    # *_f32 = the pre-bf16 baseline; fwd = forward-only (splits fwd vs
+    # bwd+adam); sgd = optimizer ablation (Adam cost on 120M params);
+    # nol2 = layer-1 L2 penalty ablation.
+    # NOTE: "pairs"/"fwd"/... ride es_noagg — the PRODUCTION pair path
+    # (explicit fan-out; the composed aggregation measured 2.3x slower
+    # forward and is opt-in experimental). "agg*" variants exercise the
+    # composed path (es_pairs carries pairs.agg here).
+    variants = {
+        "plain": (lambda: make_step(), es_plain, tx, False),
+        "pairs": (lambda: make_step(), es_noagg, tx, False),
+        "pairs_f32": (lambda: make_step(), es_noagg, tx, True),
+        "fwd": (make_fwd_step, es_noagg, tx, False),
+        "fwd_f32": (make_fwd_step, es_noagg, tx, True),
+        "fwd_nol2": (lambda: make_fwd_step(with_l2=False), es_noagg, tx,
+                     False),
+        "sgd": (lambda: make_step(opt=sgd), es_noagg, sgd, False),
+        "nol2": (lambda: make_step(with_l2=False), es_noagg, tx, False),
+        "noagg": (lambda: make_step(), es_noagg, tx, False),
+        "fwd_noagg": (make_fwd_step, es_noagg, tx, False),
+        "agg": (lambda: make_step(), es_pairs, tx, False),
+        "fwd_agg": (make_fwd_step, es_pairs, tx, False),
+        "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
+        "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
+        "srcsort": (lambda: make_step(), es_srcsort, tx, False),
+        "fwd_srcsort": (make_fwd_step, es_srcsort, tx, False),
+        # forward pieces (chained; compose to fwd_nol2 + l2pen ≈ fwd)
+        "xp_l2pen": (lambda: make_expr_step(expr_l2pen), es_pairs, tx,
+                     False),
+        "xp_tbuild": (lambda: make_expr_step(expr_tbuild), es_pairs, tx,
+                      False),
+        "xp_gc": (lambda: make_expr_step(expr_gather_contract), es_pairs,
+                  tx, False),
+        "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_pairs, tx,
+                     False),
+        "xp_l1": (lambda: make_expr_step(expr_l1full), es_pairs, tx,
+                  False),
+        "xp_l1l2": (lambda: make_expr_step(expr_l1full_l2), es_pairs, tx,
+                    False),
+    }
+    def chain_interleaved(named_steps, iters, rounds=4):
+        """Interleaved A/B: compile every variant, then alternate
+        short/long chain measurements across variants for several rounds
+        and take the per-variant min difference. At AM scale a single
+        chain spans tens of seconds — long enough to absorb cross-tenant
+        congestion bursts on the tunneled chip (observed: a forward-only
+        program 'measuring' 2.3x its own full training step in one-shot
+        chains). Interleaving exposes every variant to the same bursts;
+        min-over-rounds recovers each variant's floor."""
+        import rgcn_tpu.ops.pallas_aggregate as _pa
+
+        states = {}
+        for name, (step, es, opt) in named_steps.items():
+            params = model.init(jax.random.key(0), es)
+            opt_state = opt.init(params)
+            t0 = time.time()
+            # "_nofuse"/"_f32" variants flip TRACE-time choices — they
+            # must wrap the FIRST call (where jit traces), not the
+            # builder
+            old_fuse = _pa._PAIRS_INPUT_FUSION
+            if "nofuse" in name:
+                _pa._PAIRS_INPUT_FUSION = False
+            ctx = (
+                force_f32_pair_tables()
+                if name.endswith("_f32")
+                else contextlib.nullcontext()
+            )
+            try:
+                with ctx:
+                    params, opt_state, loss = step(params, opt_state, es)
+            finally:
+                _pa._PAIRS_INPUT_FUSION = old_fuse
+            print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
+                  f"(loss {float(loss):.3f})", flush=True)
+            states[name] = [step, es, params, opt_state]
+
+        def run(name, k):
+            step, es, params, opt_state = states[name]
+            t0 = time.perf_counter()
+            for _ in range(k):
+                params, opt_state, loss = step(params, opt_state, es)
+            float(loss)
+            states[name][2:] = [params, opt_state]
+            return time.perf_counter() - t0
+
+        best = {name: float("inf") for name in named_steps}
+        for rnd in range(rounds):
+            for name in named_steps:
+                t_short = run(name, 1)
+                t_long = run(name, 1 + iters)
+                dt = (t_long - t_short) / iters
+                best[name] = min(best[name], dt)
+                print(f"  [round {rnd}] {name}: {dt * 1e3:.1f} ms/step "
+                      f"(best {best[name] * 1e3:.1f})", flush=True)
+        return {k: round(v * 1e3, 1) for k, v in best.items()}
+
+    only = args.only.split(",") if args.only else None
+
+    def selected(name):
+        if only is None:
+            return True
+        # a token naming a variant exactly selects only that variant;
+        # other tokens are substrings
+        return name in only or any(
+            o in name for o in only if o not in variants
+        )
+
     results = {}
-    for name, es in (("plain", es_plain), ("pairs", es_pairs)):
-        if args.only and args.only not in name:
+    if args.ab:
+        named = {}
+        for name in args.ab.split(","):
+            builder, es, opt, f32 = variants[name]
+            if f32:
+                with force_f32_pair_tables():
+                    named[name] = (builder(), es, opt)
+            else:
+                named[name] = (builder(), es, opt)
+        results = chain_interleaved(named, args.iters, rounds=args.rounds)
+        for name, ms in results.items():
+            print(f"  {name}: {ms} ms/step (interleaved min)", flush=True)
+    for name, (builder, es, opt, f32) in variants.items():
+        if args.ab or not selected(name):
             continue
-        dt = chain(es, args.iters)
+        if name in ("plain",) and not args.only:
+            continue  # multi-minute compile; opt in via --only plain
+        ctx = force_f32_pair_tables() if f32 else contextlib.nullcontext()
+        with ctx:
+            dt = chain(builder(), es, args.iters, opt=opt)
         results[name] = round(dt * 1e3, 1)
         print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 
     # ------------------------------------------------------------------
-    # Component attribution (steps are seconds here, so per-call sync
-    # timing is fine — the ~23 ms fetch RPC is noise at this scale).
+    # Component attribution via separate jits (opt-in: separate-program
+    # compile draws measured internally inconsistent with the step on the
+    # tunnel — l1_fwd alone once measured 694 ms against a 595 ms full
+    # step; prefer the in-step ablation variants above).
     # ------------------------------------------------------------------
+    if not args.parts:
+        print(json.dumps({
+            "what": "probe_stress_nc", "nodes": args.nodes,
+            "rels": args.rels, "edges": int(es_pairs.num_edges),
+            "pairs": int(es_pairs.pairs.num_pairs),
+            "bases": args.bases, "hidden": args.hidden,
+            "ms_per_step": results,
+        }), flush=True)
+        return
     from rgcn_tpu.nn.layers import RGCNConv
 
     r_aug = 2 * args.rels + 1

@@ -48,9 +48,11 @@ from rgcn_tpu.graph.augment import inverse_triples
 
 __all__ = [
     "EdgeSet",
+    "PairAggLayout",
     "SrcRelPairs",
     "auto_nc_row_block",
     "build_edge_set",
+    "build_pair_agg",
     "build_src_rel_pairs",
     "edge_normalization",
 ]
@@ -146,6 +148,36 @@ class SrcRelPairs:
     pair_rel: np.ndarray  # (U_pad,) int32
     edge_pair: np.ndarray  # (E_pad,) int32
     num_pairs: int  # real unique-pair count (<= U_pad)
+    # Optional composed-aggregation layout (:class:`PairAggLayout`): the
+    # edge fan-out gather (``m[edge_pair] * val``) composed INTO the
+    # destination layout so the ``(E, dout)`` message tensor never
+    # materializes — the aggregation kernel gathers straight from the
+    # small ``(U, dout)`` pair-message table, and the backward runs
+    # scatter-free through a second host-built layout over slots.
+    agg: Optional["PairAggLayout"] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PairAggLayout:
+    """Static composition of the pair fan-out with a
+    :class:`~rgcn_tpu.ops.pallas_aggregate.DstLayout`.
+
+    Forward: slot ``l`` of the destination layout reads pair
+    ``slot_pair[l]`` of the pair-message table (``U_pad`` = the appended
+    zero row for pad slots) scaled by the slot's edge value
+    (``val_z[layout.perm]`` — composed in-jit so runtime reweighting
+    stays exact). Backward: ``d_m[u] = Σ_{l: slot_pair_l = u} v_l ·
+    g[slot_dst_l]`` runs as a second presorted aggregation over
+    ``grad_layout`` (slots grouped by pair), with the slot→edge and
+    slot→dst maps pre-composed on the host (``grad_edge``/``grad_dst``;
+    sentinel values ``E_pad``/``num_nodes`` index appended zero rows).
+    """
+
+    slot_pair: np.ndarray  # (L,) int32 in [0, U_pad]
+    slot_dst: np.ndarray  # (L,) int32 in [0, num_nodes]
+    grad_layout: object  # DstLayout over slot_pair (U_pad segments)
+    grad_edge: np.ndarray  # (Lb,) int32 in [0, E_pad]
+    grad_dst: np.ndarray  # (Lb,) int32 in [0, num_nodes]
 
 
 if _HAVE_JAX:
@@ -169,14 +201,29 @@ if _HAVE_JAX:
     )
 
     def _pairs_flatten(p: SrcRelPairs):
-        return (p.pair_src, p.pair_rel, p.edge_pair), (p.num_pairs,)
+        return (p.pair_src, p.pair_rel, p.edge_pair, p.agg), (p.num_pairs,)
 
     def _pairs_unflatten(aux, children):
-        pair_src, pair_rel, edge_pair = children
-        return SrcRelPairs(pair_src, pair_rel, edge_pair, aux[0])
+        pair_src, pair_rel, edge_pair, agg = children
+        return SrcRelPairs(pair_src, pair_rel, edge_pair, aux[0], agg)
 
     jax.tree_util.register_pytree_node(
         SrcRelPairs, _pairs_flatten, _pairs_unflatten
+    )
+
+    def _pair_agg_flatten(p: PairAggLayout):
+        return (
+            (p.slot_pair, p.slot_dst, p.grad_layout, p.grad_edge,
+             p.grad_dst),
+            (),
+        )
+
+    def _pair_agg_unflatten(aux, children):
+        del aux
+        return PairAggLayout(*children)
+
+    jax.tree_util.register_pytree_node(
+        PairAggLayout, _pair_agg_flatten, _pair_agg_unflatten
     )
 
 
@@ -208,25 +255,44 @@ def edge_normalization(
     )
 
 
-def build_src_rel_pairs(es: EdgeSet, pad_multiple: int = 1024) -> SrcRelPairs:
+def build_src_rel_pairs(
+    es: EdgeSet, pad_multiple: int = 1024, order: str = "rel"
+) -> SrcRelPairs:
     """Unique-(src, rel) index over an EdgeSet's real edges.
 
     Pad edges (``dst == num_nodes``) map to pair 0; their ``val == 0``
     zeroes the fanned-out message. The pair axis is padded to a multiple
     of ``pad_multiple`` (repeating pair 0) so checkpoint tile groups
     divide it evenly.
+
+    ``order`` picks the pair ordering. ``"rel"`` sorts by ``(rel, src)``
+    (pair-contraction inputs grouped by relation). ``"src"`` sorts by
+    ``(src, rel)`` so the WIDE basis-table gather (``table[pair_src]``,
+    the 480 MB table at AM scale) reads globally ascending rows — and
+    its backward scatters ascending — while only the small computed
+    pair-message table (tens of MB) eats the fan-out's locality loss.
     """
     real = es.dst < es.num_nodes
     # int64 keys: numpy 2.0's int32 fancy indexing hits a ~300x slow path
-    key = es.rel.astype(np.int64) * (es.num_nodes + 1) + es.src
+    if order == "src":
+        # es.num_rels already counts the general (doubled) relations
+        key = es.src.astype(np.int64) * (es.num_rels + 1) + es.rel
+    elif order == "rel":
+        key = es.rel.astype(np.int64) * (es.num_nodes + 1) + es.src
+    else:
+        raise ValueError(f"unknown pair order {order!r}")
     uniq, inv = np.unique(key[real], return_inverse=True)
     num_pairs = int(uniq.shape[0])
     u_pad = max(pad_multiple, -(-num_pairs // pad_multiple) * pad_multiple)
 
     pair_src = np.zeros(u_pad, dtype=np.int64)
     pair_rel = np.zeros(u_pad, dtype=np.int64)
-    pair_src[:num_pairs] = uniq % (es.num_nodes + 1)
-    pair_rel[:num_pairs] = uniq // (es.num_nodes + 1)
+    if order == "src":
+        pair_src[:num_pairs] = uniq // (es.num_rels + 1)
+        pair_rel[:num_pairs] = uniq % (es.num_rels + 1)
+    else:
+        pair_src[:num_pairs] = uniq % (es.num_nodes + 1)
+        pair_rel[:num_pairs] = uniq // (es.num_nodes + 1)
     # pad pairs repeat pair 0 (never referenced by a real edge's slot
     # unless pair 0 itself is, which is fine)
 
@@ -237,6 +303,53 @@ def build_src_rel_pairs(es: EdgeSet, pad_multiple: int = 1024) -> SrcRelPairs:
         pair_rel=pair_rel.astype(np.int32),
         edge_pair=edge_pair.astype(np.int32),
         num_pairs=num_pairs,
+    )
+
+
+def build_pair_agg(es: EdgeSet) -> PairAggLayout:
+    """Compose an EdgeSet's pair fan-out with its destination layout.
+
+    Requires ``es.pairs`` and ``es.layout``. All maps are static: the
+    layout permutation points pad slots at ``E_pad`` (the appended
+    zero-message row), which composes to pair ``U_pad`` / dst
+    ``num_nodes`` sentinels (both index appended zero rows at use).
+    """
+    if es.pairs is None or es.layout is None:
+        raise ValueError("build_pair_agg needs pairs and a dst layout")
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    pi = es.pairs
+    perm = np.asarray(es.layout.perm)
+    e_pad = es.src.shape[0]
+    u_pad = pi.pair_src.shape[0]
+
+    edge_pair_z = np.concatenate(
+        [np.asarray(pi.edge_pair), [u_pad]]
+    ).astype(np.int64)
+    dst_z = np.concatenate([np.asarray(es.dst), [es.num_nodes]]).astype(
+        np.int64
+    )
+    slot_pair = edge_pair_z[perm].astype(np.int32)
+    slot_dst = dst_z[perm].astype(np.int32)
+
+    # Backward layout: slots grouped by pair (pad slots carry the U_pad
+    # sentinel and are dropped like pad edges). Same block-count policy
+    # as the forward NC layouts.
+    grad_layout = build_dst_layout(
+        slot_pair, u_pad,
+        row_block=auto_nc_row_block(u_pad, chunk=es.layout.chunk),
+        chunk=es.layout.chunk,
+    )
+    gperm = np.asarray(grad_layout.perm)
+    perm_z = np.concatenate([perm, [e_pad]]).astype(np.int64)
+    grad_edge = perm_z[gperm].astype(np.int32)
+    grad_dst = dst_z[grad_edge].astype(np.int32)  # e_pad -> num_nodes
+    return PairAggLayout(
+        slot_pair=slot_pair,
+        slot_dst=slot_dst,
+        grad_layout=grad_layout,
+        grad_edge=grad_edge,
+        grad_dst=grad_dst,
     )
 
 
@@ -267,10 +380,22 @@ def build_edge_set(
     prefer_native: bool = True,
     with_merged_layout: bool = False,
     with_pair_index: bool = False,
+    with_pair_agg: bool = False,
     layout_row_block: Optional[int] = None,
     layout_chunk: Optional[int] = None,
 ) -> EdgeSet:
     """Preprocess raw ``(s, p, o)`` triples into a static :class:`EdgeSet`.
+
+    ``with_pair_agg=True`` (requires ``with_pair_index`` and
+    ``with_dst_layout``) additionally composes the pair fan-out into the
+    aggregation layout (:func:`build_pair_agg`). OFF by default — a
+    MEASURED NEGATIVE at AM scale on v5e: the composed slot→pair gather
+    loses the two-hop path's locality (edges→pairs is contiguous within
+    relation segments, layout-perm→edges is dst-block ordered) and ran
+    2.3× slower forward (interleaved chains, 1126.7 vs 482.8 ms;
+    ``benchmarks/probe_stress_nc.py --ab fwd_nofuse,fwd_noagg``), with
+    kernel input fusion worse still (2631 ms). Kept for exactness-tested
+    experimentation on other topologies.
 
     ``triples`` holds the *original* graph (relations in ``[0, R)``); inverse
     edges are generated here (relation ``p + R``), mirroring
@@ -298,6 +423,17 @@ def build_edge_set(
     def _attach_merged(es: EdgeSet) -> EdgeSet:
         if with_pair_index:
             es = dataclasses.replace(es, pairs=build_src_rel_pairs(es))
+            if with_pair_agg:
+                if es.layout is None:
+                    raise ValueError(
+                        "with_pair_agg requires with_dst_layout"
+                    )
+                es = dataclasses.replace(
+                    es,
+                    pairs=dataclasses.replace(
+                        es.pairs, agg=build_pair_agg(es)
+                    ),
+                )
         if not with_merged_layout:
             return es
         from rgcn_tpu.graph.coalesce import MERGED_MAX_RELS, build_merged_layout

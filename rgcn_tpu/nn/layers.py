@@ -186,9 +186,18 @@ class RGCNConv(nn.Module):
                         compute_dtype=cd,
                     )
                 else:
+                    # bf16 gather table on real TPUs (f32 accumulation):
+                    # halves the wide (nb·dout)-row gather bytes that
+                    # dominate the many-basis featureless step (AM)
+                    cd = (
+                        jnp.bfloat16
+                        if jax.default_backend() in ("tpu", "axon")
+                        else None
+                    )
                     agg = spmm_ops.rel_spmm_featureless_basis(
                         edges, self._fan(bases), self._fan(comps[:-1]),
                         aggregate=self._aggregate_fn(edges),
+                        compute_dtype=cd,
                     )
                 agg = self._reduce(agg)
                 self_msg = jnp.einsum("b,bio->io", comps[-1], bases)
@@ -244,10 +253,16 @@ class RGCNConv(nn.Module):
                 # unique (src, rel) pair — the per-tile expanded-weight
                 # matmuls at narrow (din, dout) waste the MXU and measured
                 # ~9x slower at AM scale (ops/spmm.py::rel_spmm_basis_pairs)
+                cd = (
+                    jnp.bfloat16
+                    if jax.default_backend() in ("tpu", "axon")
+                    else None
+                )
                 agg = spmm_ops.rel_spmm_basis_pairs(
                     edges, self._fan(x), self._fan(bases),
                     self._fan(comps[:-1]),
                     aggregate=self._aggregate_fn(edges),
+                    compute_dtype=cd,
                 )
                 agg = self._reduce(agg)
                 self_msg = x @ jnp.einsum("b,bio->io", comps[-1], bases)

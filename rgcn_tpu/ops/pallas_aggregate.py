@@ -343,3 +343,88 @@ def aggregate_messages_ad(messages, edges):
     if edges.layout is None:
         raise ValueError("EdgeSet has no destination layout")
     return _agg_ad(messages, edges.dst, edges.layout, edges.num_nodes)
+
+
+# ---------------------------------------------------------------------------
+# Composed pair aggregation: the featureless/featureful basis PAIR paths
+# compute one message per unique (src, rel) pair (``m``: (U_pad, dout)) and
+# fan it out to edges (``m[edge_pair] * val``) before aggregating. The
+# fan-out tensor is (E, dout) of narrow rows — materializing it, then
+# permuting it destination-sorted, costs two more per-row gather passes
+# than the math needs. With a host-composed slot→pair map
+# (``graph/structure.py::build_pair_agg``) the aggregation kernel gathers
+# straight from the (U_pad, dout) pair table (a ~4x smaller gather table
+# at AM scale), and the backward runs as a SECOND presorted aggregation
+# over a slots-grouped-by-pair layout — no XLA scatter anywhere.
+# ---------------------------------------------------------------------------
+
+
+# None -> backend default; probes override to force a choice (the input
+# fusion question for this path is empirical: the producer is a gather of
+# a small COMPUTED table with duplicated rows — neither of the two
+# measured categories from round 3).
+_PAIRS_INPUT_FUSION = None
+
+
+def _pairs_fusion_default() -> bool:
+    if _PAIRS_INPUT_FUSION is not None:
+        return _PAIRS_INPUT_FUSION
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def aggregate_pairs_ad(m, val, edge_pair, dst, agg, layout, num_nodes):
+    """``out[n] = Σ_{e: dst_e = n} val_e · m[edge_pair_e]`` without ever
+    materializing the per-edge fan-out.
+
+    ``agg`` is the EdgeSet's :class:`~rgcn_tpu.graph.structure
+    .PairAggLayout`; ``layout`` its forward :class:`DstLayout`. ``val``
+    enters in-jit (``val_z[layout.perm]``), so runtime reweighting
+    (dropout masks) stays exact — only (src, rel) structure is frozen.
+    """
+    out, _ = _aggregate_pairs_fwd(
+        m, val, edge_pair, dst, agg, layout, num_nodes
+    )
+    return out
+
+
+def _aggregate_pairs_fwd(m, val, edge_pair, dst, agg, layout, num_nodes):
+    dout = m.shape[-1]
+    m_z = jnp.concatenate([m, jnp.zeros((1, dout), m.dtype)], axis=0)
+    val_z = jnp.concatenate([val, jnp.zeros((1,), val.dtype)], axis=0)
+    v_slot = val_z[layout.perm]
+    msgs_sorted = m_z[agg.slot_pair] * v_slot[:, None]
+    out = aggregate_presorted_pallas(
+        msgs_sorted, layout, num_nodes,
+        input_fusion=_pairs_fusion_default(),
+    )
+    return out, (m, val, edge_pair, dst, agg)
+
+
+def _aggregate_pairs_bwd(num_nodes, res, g):
+    m, val, edge_pair, dst, agg = res
+    dout = g.shape[-1]
+    u_pad = m.shape[0]
+    g_pad = jnp.concatenate([g, jnp.zeros((1, dout), g.dtype)], axis=0)
+    val_z = jnp.concatenate([val, jnp.zeros((1,), val.dtype)], axis=0)
+    # d_m[u] = Σ_{slots l with slot_pair_l = u} val_l · g[slot_dst_l]:
+    # a presorted aggregation over the slots-grouped-by-pair layout, its
+    # inputs gathered through the host-composed slot→edge / slot→dst maps
+    # (sentinels index the appended zero rows).
+    w_sorted = val_z[agg.grad_edge][:, None] * g_pad[
+        jnp.minimum(agg.grad_dst, num_nodes)
+    ]
+    d_m = aggregate_presorted_pallas(
+        w_sorted, agg.grad_layout, u_pad,
+        input_fusion=_pairs_fusion_default(),
+    ).astype(m.dtype)
+    # d_val is real math (val is graph data, never a parameter; XLA DCEs
+    # this when the caller does not differentiate w.r.t. val)
+    m_z = jnp.concatenate([m, jnp.zeros((1, dout), m.dtype)], axis=0)
+    d_val = jnp.sum(
+        m_z[edge_pair] * g_pad[jnp.minimum(dst, num_nodes)], axis=-1
+    ).astype(val.dtype)
+    return d_m, d_val, None, None, None, None
+
+
+aggregate_pairs_ad.defvjp(_aggregate_pairs_fwd, _aggregate_pairs_bwd)

@@ -184,6 +184,7 @@ def rel_spmm_featureless_basis(
     *,
     precision: Optional[jax.lax.Precision] = None,
     aggregate=None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Featureless SpMM under basis decomposition, without expansion.
 
@@ -206,10 +207,16 @@ def rel_spmm_featureless_basis(
     Args:
       bases: ``(num_bases, N, dout)``; comps: ``(num_general_rels, num_bases)``
       (general relations only — the self row is handled by the caller).
+      compute_dtype: optional narrow dtype (``bfloat16`` on real TPUs) for
+      the gather table and contraction inputs — halves the dominant
+      wide-row gather bytes; contractions accumulate in f32.
     """
     tile = edges.tile_size
     n_tiles = edges.num_tiles
     nb, n_rows, dout = bases.shape
+    if compute_dtype is not None:
+        bases = bases.astype(compute_dtype)
+        comps = comps.astype(compute_dtype)
 
     # Flat contiguous (N, nb*dout) gather table. Gathering (nb, dout)
     # SLICES of the transposed bases lowers to per-slice strided
@@ -240,15 +247,13 @@ def rel_spmm_featureless_basis(
         m = _pair_contract(
             table, comps, pi, nb, dout, precision=precision
         )
-        msgs = m[pi.edge_pair] * edges.val[:, None]
-        if aggregate is not None:
-            return aggregate(msgs, edges)
-        return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+        return _pair_fan_aggregate(m, edges, aggregate)
 
     c_t = comps[edges.tile_rel]  # (n_tiles, nb)
     if n_tiles * tile * nb * dout <= _ELEM_BUDGET:
         rows = table[edges.src].reshape(n_tiles, tile, nb, dout)
-        msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision)
+        msgs = jnp.einsum("tebo,tb->teo", rows, c_t, precision=precision,
+                          preferred_element_type=jnp.float32)
     else:
         group = max(1, _ELEM_BUDGET // (tile * nb * dout))
         while n_tiles % group:
@@ -260,10 +265,39 @@ def rel_spmm_featureless_basis(
         def per_group(args):
             src, c = args
             rows = table[src].reshape(group, tile, nb, dout)
-            return jnp.einsum("gebo,gb->geo", rows, c, precision=precision)
+            return jnp.einsum("gebo,gb->geo", rows, c, precision=precision,
+                              preferred_element_type=jnp.float32)
 
         msgs = jax.lax.map(per_group, (src_g, c_g))
     msgs = msgs.reshape(n_tiles * tile, dout) * edges.val[:, None]
+    if aggregate is not None:
+        return aggregate(msgs, edges)
+    return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+
+
+def _pair_fan_aggregate(m, edges, aggregate):
+    """Fan the (U_pad, dout) pair messages out to edges and aggregate.
+
+    When the EdgeSet carries the composed pair-aggregation layout
+    (``edges.pairs.agg``) and the caller requested the Pallas layout
+    aggregation, the fan-out composes INTO the aggregation kernel
+    (:func:`rgcn_tpu.ops.pallas_aggregate.aggregate_pairs_ad`) — the
+    ``(E, dout)`` message tensor never materializes and the backward is
+    scatter-free. Otherwise: explicit fan-out + the requested reduction.
+    """
+    pi = edges.pairs
+    if (
+        aggregate is not None
+        and pi.agg is not None
+        and edges.layout is not None
+    ):
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_pairs_ad
+
+        return aggregate_pairs_ad(
+            m, edges.val, pi.edge_pair, edges.dst, pi.agg, edges.layout,
+            edges.num_nodes,
+        )
+    msgs = m[pi.edge_pair] * edges.val[:, None]
     if aggregate is not None:
         return aggregate(msgs, edges)
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
@@ -276,8 +310,16 @@ def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
     u_pad = pi.pair_src.shape[0]
     c_u = comps[pi.pair_rel]  # (U_pad, nb)
     if u_pad * nb * dout <= _PAIR_ELEM_BUDGET:
-        rows = table[pi.pair_src].reshape(u_pad, nb, dout)
-        return jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision)
+        # barrier AFTER the gather: one contiguous (U, nb·dout) gather
+        # pass instead of XLA fusing the gather into the contraction as
+        # per-element strided loads (interleaved A/B at AM scale: 82.9 vs
+        # 96.5 ms on the gather+contract piece, probe_stress_nc
+        # --ab xp_gc,xp_gcmat)
+        rows = jax.lax.optimization_barrier(
+            table[pi.pair_src]
+        ).reshape(u_pad, nb, dout)
+        return jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision,
+                          preferred_element_type=jnp.float32)
     group = max(1, _PAIR_ELEM_BUDGET // (nb * dout))
     while u_pad % group:
         group -= 1
@@ -288,7 +330,8 @@ def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
     def per_group(args):
         srcs, c = args
         rows = table[srcs].reshape(group, nb, dout)
-        return jnp.einsum("gbo,gb->go", rows, c, precision=precision)
+        return jnp.einsum("gbo,gb->go", rows, c, precision=precision,
+                          preferred_element_type=jnp.float32)
 
     return jax.lax.map(per_group, (src_g, c_g)).reshape(u_pad, dout)
 
@@ -301,6 +344,7 @@ def rel_spmm_basis_pairs(
     *,
     precision: Optional[jax.lax.Precision] = None,
     aggregate=None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Featureful basis SpMM through the unique-(src, rel) pair index.
 
@@ -320,10 +364,10 @@ def rel_spmm_basis_pairs(
     nb, din, dout = bases.shape
     n = x.shape[0]
     h = jnp.einsum("ni,bio->nbo", x, bases, precision=precision)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+        comps = comps.astype(compute_dtype)
     table = jax.lax.optimization_barrier(h.reshape(n, nb * dout))
     m = _pair_contract(table, comps, edges.pairs, nb, dout,
                        precision=precision)
-    msgs = m[edges.pairs.edge_pair] * edges.val[:, None]
-    if aggregate is not None:
-        return aggregate(msgs, edges)
-    return aggregate_messages(msgs, edges.dst, edges.num_nodes)
+    return _pair_fan_aggregate(m, edges, aggregate)

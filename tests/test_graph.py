@@ -151,3 +151,43 @@ def test_layout_geometry_plumbed_through_builders():
     assert auto_nc_row_block(40_943) == 128     # WN18-size
     assert auto_nc_row_block(300_000) == 512    # AM
     assert auto_nc_row_block(10_000_000) == 2048
+
+
+def test_src_rel_pairs_order_variants_equivalent():
+    """order="src" (streaming wide-table gathers) and order="rel" carry
+    the same pair set and produce identical SpMM results."""
+    import jax.numpy as jnp
+
+    from rgcn_tpu.graph.structure import build_edge_set, build_src_rel_pairs
+    from rgcn_tpu.ops import spmm
+    from tests.conftest import make_random_triples
+
+    rng = np.random.default_rng(21)
+    triples = make_random_triples(rng, 12, 4, 90, unique=True)
+    es = build_edge_set(triples, 30, 4, tile_size=8)
+    import dataclasses as _dc
+
+    p_rel = build_src_rel_pairs(es, order="rel")
+    p_src = build_src_rel_pairs(es, order="src")
+    assert p_rel.num_pairs == p_src.num_pairs
+    # src-order: pair_src ascending (ties broken by rel)
+    real = p_src.num_pairs
+    key = p_src.pair_src[:real] * (es.num_rels + 1) + p_src.pair_rel[:real]
+    assert np.all(np.diff(key) > 0)
+    # same (src, rel) multiset
+    k_rel = np.sort(
+        p_rel.pair_src[:real] * (es.num_rels + 1) + p_rel.pair_rel[:real]
+    )
+    np.testing.assert_array_equal(np.sort(key), k_rel)
+
+    bases = jnp.asarray(rng.normal(size=(5, 30, 6)).astype(np.float32))
+    comps = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    out_rel = spmm.rel_spmm_featureless_basis(
+        _dc.replace(es, pairs=p_rel), bases, comps
+    )
+    out_src = spmm.rel_spmm_featureless_basis(
+        _dc.replace(es, pairs=p_src), bases, comps
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_src), np.asarray(out_rel), rtol=1e-5, atol=1e-6
+    )

@@ -267,3 +267,238 @@ def test_node_classifier_pairs_matches_no_pairs():
     out_plain = np.asarray(model.apply(params, es))
     out_pairs = np.asarray(model.apply(params, es_p))
     np.testing.assert_allclose(out_pairs, out_plain, rtol=1e-4, atol=1e-5)
+
+
+def test_basis_paths_bf16_compute_dtype_close():
+    """compute_dtype=bfloat16 (the real-TPU default for the basis paths,
+    f32 accumulation) must track the f32 forward and gradients to bf16
+    tolerances on BOTH the featureless (pair + tile) and featureful pair
+    paths."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    n, r, nb, din, dout = 30, 4, 5, 6, 7
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases_fl = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    bases_ff = jnp.asarray(
+        rng.normal(size=(nb, din, dout)).astype(np.float32)
+    )
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+
+    es = build_edge_set(triples, n, r, tile_size=8)
+    es_p = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+
+    def check(fn, *args):
+        def loss(*a):
+            out = fn(*a)
+            return jnp.sum(out * out), out
+
+        (v0, out0), g0 = jax.value_and_grad(
+            loss, argnums=tuple(range(len(args))), has_aux=True
+        )(*args)
+
+        def loss16(*a):
+            out = fn(*a, compute_dtype=jnp.bfloat16)
+            return jnp.sum(out * out), out
+
+        (v1, out1), g1 = jax.value_and_grad(
+            loss16, argnums=tuple(range(len(args))), has_aux=True
+        )(*args)
+        out0np, out1np = np.asarray(out0), np.asarray(out1)
+        np.testing.assert_allclose(out1np, out0np, rtol=5e-2, atol=5e-2)
+        rel_out = np.linalg.norm(out1np - out0np) / np.linalg.norm(out0np)
+        assert rel_out <= 1e-2, rel_out
+        for a, b in zip(g1, g0):
+            assert a.dtype == b.dtype  # grads stay f32 param dtype
+            # gradients are bf16-class (the cotangent quantizes through
+            # the cast, like the Pallas basis kernels' TPU default —
+            # tpu-smoke gates those at the same tolerance class):
+            # assert relative L2 per leaf, not elementwise
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+            assert rel <= 2e-2, rel
+
+    check(
+        lambda b, c, **kw: spmm.rel_spmm_featureless_basis(es, b, c, **kw),
+        bases_fl, comps,
+    )
+    check(
+        lambda b, c, **kw: spmm.rel_spmm_featureless_basis(es_p, b, c, **kw),
+        bases_fl, comps,
+    )
+    check(
+        lambda x_, b, c, **kw: spmm.rel_spmm_basis_pairs(
+            es_p, x_, b, c, **kw
+        ),
+        x, bases_ff, comps,
+    )
+
+
+def _grad_check(f_got, f_want, args, rtol=1e-4, atol=1e-5):
+    import jax
+
+    (v1, out1), g1 = jax.value_and_grad(
+        f_got, argnums=tuple(range(len(args))), has_aux=True
+    )(*args)
+    (v0, out0), g0 = jax.value_and_grad(
+        f_want, argnums=tuple(range(len(args))), has_aux=True
+    )(*args)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=rtol, atol=atol)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+
+def test_composed_pair_aggregation_exact():
+    """The composed pair aggregation (fan-out fused into the Pallas
+    layout kernel, scatter-free layout backward —
+    ``pallas_aggregate.aggregate_pairs_ad``) must equal the explicit
+    fan-out + segment_sum path: forward AND gradients w.r.t.
+    bases/comps/x, on both basis pair paths, including after runtime
+    reweighting (dropout masks replace ``val``)."""
+    import dataclasses as _dc
+
+    from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
+
+    rng = np.random.default_rng(13)
+    n, r, nb, din, dout = 30, 4, 5, 6, 7
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases_fl = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    bases_ff = jnp.asarray(
+        rng.normal(size=(nb, din, dout)).astype(np.float32)
+    )
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+
+    es = build_edge_set(
+        triples, n, r, tile_size=8, with_pair_index=True,
+        with_pair_agg=True,
+        with_dst_layout=True, layout_row_block=16, layout_chunk=8,
+    )
+    assert es.pairs.agg is not None
+    # reweighted variant: the agg layout freezes only (src, rel) — a val
+    # mask must stay exact through the composed path
+    mask = (rng.random(es.val.shape[0]) > 0.3).astype(np.float32)
+    es_masked = _dc.replace(es, val=jnp.asarray(np.asarray(es.val) * mask))
+
+    for es_ in (es, es_masked):
+        def fused_fl(b, c):
+            out = spmm.rel_spmm_featureless_basis(
+                es_, b, c, aggregate=aggregate_messages_ad
+            )
+            return jnp.sum(out * out), out
+
+        def plain_fl(b, c):
+            out = spmm.rel_spmm_featureless_basis(es_, b, c)
+            return jnp.sum(out * out), out
+
+        _grad_check(fused_fl, plain_fl, (bases_fl, comps))
+
+        def fused_ff(x_, b, c):
+            out = spmm.rel_spmm_basis_pairs(
+                es_, x_, b, c, aggregate=aggregate_messages_ad
+            )
+            return jnp.sum(out * out), out
+
+        def plain_ff(x_, b, c):
+            out = spmm.rel_spmm_basis_pairs(es_, x_, b, c)
+            return jnp.sum(out * out), out
+
+        _grad_check(fused_ff, plain_ff, (x, bases_ff, comps))
+
+
+def test_composed_pair_aggregation_val_grad():
+    """aggregate_pairs_ad's custom VJP declares a REAL d_val (val is
+    graph data, but the cotangent must be correct if anyone ever
+    differentiates through a value-producing function)."""
+    import jax
+
+    from rgcn_tpu.ops.pallas_aggregate import aggregate_pairs_ad
+    from rgcn_tpu.ops.spmm import aggregate_messages
+
+    rng = np.random.default_rng(14)
+    n, r = 20, 3
+    triples = make_random_triples(rng, 10, r, 60, unique=True)
+    es = build_edge_set(
+        triples, n, r, tile_size=8, with_pair_index=True,
+        with_pair_agg=True,
+        with_dst_layout=True, layout_row_block=16, layout_chunk=8,
+    )
+    dout = 5
+    m = jnp.asarray(
+        rng.normal(size=(es.pairs.pair_src.shape[0], dout)).astype(
+            np.float32
+        )
+    )
+    val0 = jnp.asarray(np.asarray(es.val))
+
+    def fused(mm, vv):
+        return jnp.sum(
+            aggregate_pairs_ad(
+                mm, vv, es.pairs.edge_pair, es.dst, es.pairs.agg,
+                es.layout, es.num_nodes,
+            )
+            ** 2
+        )
+
+    def plain(mm, vv):
+        msgs = mm[es.pairs.edge_pair] * vv[:, None]
+        return jnp.sum(aggregate_messages(msgs, es.dst, es.num_nodes) ** 2)
+
+    gm1, gv1 = jax.grad(fused, argnums=(0, 1))(m, val0)
+    gm0, gv0 = jax.grad(plain, argnums=(0, 1))(m, val0)
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_node_classifier_composed_pair_agg_matches():
+    """Whole-model check of the composed pair aggregation: a forced
+    Pallas backend (interpret mode on CPU) over an agg-carrying EdgeSet
+    must match the plain XLA path — logits AND training gradients."""
+    import jax
+
+    from rgcn_tpu.models import NodeClassifier
+
+    rng = np.random.default_rng(15)
+    n, r, c = 30, 4, 3
+    triples = make_random_triples(rng, 15, r, 90, unique=True)
+    es = build_edge_set(
+        triples, n, r, tile_size=8, with_pair_index=True,
+        with_pair_agg=True,
+        with_dst_layout=True, layout_row_block=16, layout_chunk=8,
+    )
+    assert es.pairs.agg is not None
+
+    kw = dict(
+        num_nodes=n, num_relations=r, num_classes=c, hidden_size=8,
+        decomposition="basis", num_bases=10,
+    )
+    pallas_model = NodeClassifier(backend="pallas", **kw)
+    xla_model = NodeClassifier(backend="xla", **kw)
+    params = xla_model.init(jax.random.key(0), es)
+
+    out_p = np.asarray(pallas_model.apply(params, es))
+    out_x = np.asarray(xla_model.apply(params, es))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
+
+    lbl = jnp.asarray(rng.integers(0, c, n))
+
+    def loss(model):
+        def f(p):
+            import optax
+
+            return optax.softmax_cross_entropy_with_integer_labels(
+                model.apply(p, es), lbl
+            ).mean()
+
+        return f
+
+    g_p = jax.grad(loss(pallas_model))(params)
+    g_x = jax.grad(loss(xla_model))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
