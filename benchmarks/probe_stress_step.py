@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--only", default=None,
                     help="substring filter (each variant is a separate "
                          "multi-minute remote compile)")
+    ap.add_argument("--ab", default=None,
+                    help="comma list of variants to A/B with INTERLEAVED "
+                         "chains (the only trustworthy cross-variant "
+                         "comparison at this scale)")
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="interleaved A/B rounds")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -171,13 +177,59 @@ def main():
 
         return (run(1 + iters) - run(1)) / iters
 
+    def chain_interleaved(named_steps, iters, rounds):
+        """Interleaved A/B (see probe_stress_nc.py's docstring: at stress
+        scale one-shot chains absorb whole cross-tenant congestion bursts
+        — only alternating chains with per-variant mins compare fairly)."""
+        states = {}
+        for name, step in named_steps.items():
+            params, opt_state = fresh_state()
+            t0 = time.time()
+            params, opt_state, loss = step(
+                params, opt_state, positives, jax.random.key(3)
+            )
+            float(loss)
+            print(f"  [{name}] compile+first: {time.time() - t0:.1f}s",
+                  flush=True)
+            states[name] = [step, params, opt_state]
+
+        def run(name, k):
+            step, params, opt_state = states[name]
+            key = jax.random.key(3)
+            t0 = time.perf_counter()
+            for _ in range(k):
+                params, opt_state, loss = step(
+                    params, opt_state, positives, key
+                )
+            float(loss)
+            states[name][1:] = [params, opt_state]
+            return time.perf_counter() - t0
+
+        best = {name: float("inf") for name in named_steps}
+        for rnd in range(rounds):
+            for name in named_steps:
+                dt = (run(name, 1 + iters) - run(name, 1)) / iters
+                best[name] = min(best[name], dt)
+                print(f"  [round {rnd}] {name}: {dt * 1e3:.1f} ms/step "
+                      f"(best {best[name] * 1e3:.1f})", flush=True)
+        return {k: round(v * 1e3, 1) for k, v in best.items()}
+
+    variants = {"plain": False, "structured": True}
     results = {}
-    for name, structured in (("plain", False), ("structured", True)):
-        if args.only and args.only not in name:
-            continue
-        dt = chain(make_step(structured), args.iters)
-        results[name] = round(dt * 1e3, 1)
-        print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
+    if args.ab:
+        named = {
+            name: make_step(variants[name]) for name in args.ab.split(",")
+        }
+        results = chain_interleaved(named, args.iters, args.rounds)
+        for name, ms in results.items():
+            print(f"  {name}: {ms} ms/step (interleaved min)", flush=True)
+    else:
+        for name, structured in variants.items():
+            if args.only and args.only not in name:
+                continue
+            dt = chain(make_step(structured), args.iters)
+            results[name] = round(dt * 1e3, 1)
+            print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 
     print(json.dumps({"what": "probe_stress_step", "nodes": n,
                       "batch": bsz, "ns": ns, "dim": d, "row_block": rb,
