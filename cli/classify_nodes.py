@@ -37,6 +37,11 @@ def main():
                          "(per-repeat subdirs when repeats > 1)")
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="save cadence in epochs (default: 10)")
+    ap.add_argument("--exe-cache-dir", default=None,
+                    help="pin compiled train/predict executables here "
+                         "(kills the minutes-long remote recompile AND "
+                         "the compile-draw lottery on process restarts; "
+                         "keyed by lowered-HLO hash)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -80,7 +85,8 @@ def main():
     with trace(args.profile_dir, enabled=args.profile_dir is not None):
         run_repeats(cfg, data, logger=logger, tile_size=args.tile_size,
                     checkpoint_dir=args.checkpoint_dir,
-                    checkpoint_every=args.checkpoint_every)
+                    checkpoint_every=args.checkpoint_every,
+                    exe_cache_dir=args.exe_cache_dir)
 
 
 if __name__ == "__main__":

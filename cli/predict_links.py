@@ -35,6 +35,10 @@ def main():
                     help="save/resume params+optimizer state here")
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="save cadence in epochs (default: eval check_every)")
+    ap.add_argument("--exe-cache-dir", default=None,
+                    help="pin the compiled train step here (kills the "
+                         "minutes-long remote recompile and compile-draw "
+                         "lottery on restarts; HLO-hash keyed)")
     ap.add_argument("--distributed", action="store_true",
                     help="join a multi-process job (jax.distributed; "
                          "coordinator/process from JAX_COORDINATOR_ADDRESS/"
@@ -121,6 +125,7 @@ def main():
             cfg, data, logger=logger, tile_size=args.tile_size,
             max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
+            exe_cache_dir=args.exe_cache_dir,
         )
 
 

@@ -185,8 +185,16 @@ def train_link_predictor(
     pallas_train_step: Optional[bool] = None,
     host_graph_build: Optional[bool] = None,
     feature_blocks: bool = False,
+    exe_cache_dir: Optional[str] = None,
 ):
-    """Train and evaluate; returns (final_mrr, hits, ranks, params)."""
+    """Train and evaluate; returns (final_mrr, hits, ranks, params).
+
+    ``exe_cache_dir`` pins the compiled train step across processes
+    (:class:`rgcn_tpu.utils.exe_cache.PinnedJit`, HLO-hash keyed; buffer
+    donation is preserved through serialization) — kills the
+    minutes-long remote recompile and the compile-draw lottery on
+    restarts. Off by default.
+    """
     logger = logger or ScalarLogger()
     enc = cfg.encoder
 
@@ -265,7 +273,16 @@ def train_link_predictor(
     # predicate with the sharded driver
     structured_ok = cfg.structured_decoder_ok(pallas_train_step)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _jit_step(fn):
+        if exe_cache_dir:
+            from rgcn_tpu.utils.exe_cache import PinnedJit
+
+            return PinnedJit(
+                fn, exe_cache_dir, tag="lp_step", donate_argnums=(0, 1)
+            )
+        return jax.jit(fn, donate_argnums=(0, 1))
+
+    @_jit_step
     def step(params, opt_state, positives, edges, hosted, key):
         k_neg, k_drop, k_self, k_sl = jax.random.split(key, 4)
         structured = None

@@ -64,8 +64,18 @@ def train_node_classifier(
     log_suffix: str = "",
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
+    exe_cache_dir: Optional[str] = None,
 ) -> float:
-    """Train one model; returns final test accuracy (percent)."""
+    """Train one model; returns final test accuracy (percent).
+
+    ``exe_cache_dir`` pins the compiled train/predict executables across
+    processes (:class:`rgcn_tpu.utils.exe_cache.PinnedJit`, keyed by the
+    lowered HLO hash): on this environment's remote-compile backend a
+    fresh AM-scale NC step costs 60-570 s to compile per process AND
+    re-rolls a compile-draw lottery whose long-chain truth spreads ~2x
+    (STATUS round 7); a pinned run re-traces in seconds and reuses the
+    exact prior executable. Off by default (plain ``jax.jit``).
+    """
     logger = logger or ScalarLogger()
     rg = cfg.rgcn
 
@@ -122,8 +132,7 @@ def train_node_classifier(
             f"{rg.model} model"
         )
 
-    @jax.jit
-    def step(params, opt_state, edges):
+    def _step(params, opt_state, edges):
         def loss_fn(p):
             logits = model.apply(p, edges)
             loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -140,9 +149,19 @@ def train_node_classifier(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @jax.jit
-    def predict(params, edges):
+    def _predict(params, edges):
         return jnp.argmax(model.apply(params, edges), axis=-1)
+
+    if exe_cache_dir:
+        from rgcn_tpu.utils.exe_cache import PinnedJit
+
+        # constant tags: the HLO hash is the identity — repeats (and
+        # fresh processes) share one pinned executable
+        step = PinnedJit(_step, exe_cache_dir, tag="nc_step")
+        predict = PinnedJit(_predict, exe_cache_dir, tag="nc_predict")
+    else:
+        step = jax.jit(_step)
+        predict = jax.jit(_predict)
 
     start_epoch = 1
     if checkpoint_dir:
@@ -215,6 +234,7 @@ def run_repeats(
     tile_size: int = 128,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
+    exe_cache_dir: Optional[str] = None,
 ) -> Tuple[float, float]:
     """Repeat training and report mean ± standard error
     (``classify_nodes.py:159-178``)."""
@@ -233,6 +253,7 @@ def run_repeats(
                 cfg, data, seed=i, logger=logger, tile_size=tile_size,
                 log_suffix=f"_{i}", checkpoint_dir=ck,
                 checkpoint_every=checkpoint_every,
+                exe_cache_dir=exe_cache_dir,
             )
         )
     avg = sum(accs) / len(accs)

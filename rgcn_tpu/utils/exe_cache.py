@@ -158,10 +158,13 @@ class PinnedJit:
     ranking programs.
     """
 
-    def __init__(self, fn, cache_dir: Optional[str], tag: str = ""):
+    def __init__(self, fn, cache_dir: Optional[str], tag: str = "",
+                 **jit_kwargs):
         import jax
 
-        self._jit = jax.jit(fn)
+        # jit_kwargs (e.g. donate_argnums) are part of the lowering, so
+        # the serialized executable preserves them (buffer aliasing incl.)
+        self._jit = jax.jit(fn, **jit_kwargs)
         self._cache_dir = cache_dir
         self._tag = tag
         self._by_sig: Dict[Any, Callable] = {}

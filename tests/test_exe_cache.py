@@ -63,3 +63,81 @@ def test_corrupt_entry_removed(tmp_path):
         f.write(b"not a pickle")
     assert exe_cache.load_executable(str(tmp_path), key) is None
     assert not os.path.exists(p)  # bad entry deleted so runs don't re-trip
+
+
+def test_nc_trainer_exe_pinning(tmp_path):
+    """train_node_classifier(exe_cache_dir=...) pins its step/predict
+    executables: a second run populates nothing new (HLO-hash hit) and
+    reproduces the first run's accuracy exactly."""
+    import os
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.train.node_classification import train_node_classifier
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_node_classification(
+        num_nodes=60, num_rels=4, num_edges=300, num_classes=3, seed=3
+    )
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {"epochs": 4,
+                     "optimiser": {"algorithm": "adam",
+                                   "learn_rate": 0.01,
+                                   "weight_decay": 0.0}},
+        "rgcn": {"model": "rgcn", "num_layers": 2, "hidden_size": 8},
+        "evaluation": {"final_run": True},
+    })
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    acc1 = train_node_classifier(
+        cfg, data, seed=1, logger=quiet, tile_size=16, exe_cache_dir=d
+    )
+    entries = sorted(os.listdir(d))
+    assert entries, "no executables pinned"
+    acc2 = train_node_classifier(
+        cfg, data, seed=1, logger=quiet, tile_size=16, exe_cache_dir=d
+    )
+    assert acc1 == acc2
+    assert sorted(os.listdir(d)) == entries  # pure hits, nothing new
+
+
+def test_lp_trainer_exe_pinning(tmp_path):
+    """train_link_predictor(exe_cache_dir=...) pins the donated-buffer
+    train step; a second run hits the cache and reproduces the MRR."""
+    import os
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.train.link_prediction import train_link_predictor
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_link_prediction(num_nodes=40, num_rels=3,
+                                     num_edges=200)
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {
+            "epochs": 3, "graph_batch_size": 32,
+            "negative_sampling": {"sampling_rate": 2, "head_prob": 0.5},
+            "optimiser": {"algorithm": "adam", "learn_rate": 0.01,
+                          "weight_decay": 0.0},
+        },
+        "encoder": {"model": "rgcn", "num_layers": 1,
+                    "node_embedding": 8, "hidden1_size": 8},
+        "decoder": {"model": "distmult", "l2_penalty": 0.01,
+                    "l2_penalty_type": "schlichtkrull-l2"},
+        "evaluation": {"final_run": True, "filtered": True,
+                       "check_every": 100, "batch_size": 16},
+    })
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    mrr1, _, _, _ = train_link_predictor(
+        cfg, data, seed=2, logger=quiet, tile_size=8, exe_cache_dir=d
+    )
+    entries = sorted(os.listdir(d))
+    assert entries, "no executables pinned"
+    mrr2, _, _, _ = train_link_predictor(
+        cfg, data, seed=2, logger=quiet, tile_size=8, exe_cache_dir=d
+    )
+    assert mrr1 == mrr2
+    assert sorted(os.listdir(d)) == entries
