@@ -42,6 +42,11 @@ def main():
                          "(kills the minutes-long remote recompile AND "
                          "the compile-draw lottery on process restarts; "
                          "keyed by lowered-HLO hash)")
+    ap.add_argument("--exe-search", type=int, default=0,
+                    help="on a cache miss, compile N draws of the train "
+                         "step and pin the fastest (XLA scheduling is "
+                         "nondeterministic per compile; identical HLO "
+                         "spreads ~2x at AM scale)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -86,7 +91,8 @@ def main():
         run_repeats(cfg, data, logger=logger, tile_size=args.tile_size,
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_every=args.checkpoint_every,
-                    exe_cache_dir=args.exe_cache_dir)
+                    exe_cache_dir=args.exe_cache_dir,
+                    exe_search=args.exe_search)
 
 
 if __name__ == "__main__":

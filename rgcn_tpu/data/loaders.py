@@ -84,6 +84,20 @@ class NodeClassificationData:
             int(c) for c in self.test.values()
         }
         self.num_classes = len(classes)
+        # Dense label coding over the SHARED train∪test vocabulary
+        # (mirrors the reference's categorical coding, data.py:119-127).
+        # Raw label values are not necessarily 0..C-1 — a labeled subset
+        # can miss a class entirely (e.g. sparse synthetic splits), and
+        # out-of-range labels silently NaN the CE loss via
+        # take_along_axis's fill mode. Identity map when values already
+        # are 0..C-1, so loader-coded datasets are unchanged.
+        self._class_code = {c: i for i, c in enumerate(sorted(classes))}
+
+    @property
+    def class_values(self):
+        """Original label value per dense class code (code -> value);
+        identity for loader-coded datasets."""
+        return sorted(self._class_code)
 
     @property
     def num_nodes(self) -> int:
@@ -95,7 +109,9 @@ class NodeClassificationData:
 
     def index_labels(self, split: Dict[str, int]) -> Tuple[np.ndarray, np.ndarray]:
         idx = np.array([self.n2i[n] for n in split], dtype=np.int64)
-        lbl = np.array([split[n] for n in split], dtype=np.int64)
+        lbl = np.array(
+            [self._class_code[int(split[n])] for n in split], dtype=np.int64
+        )
         return idx, lbl
 
 

@@ -159,6 +159,7 @@ class PinnedJit:
     """
 
     def __init__(self, fn, cache_dir: Optional[str], tag: str = "",
+                 search: int = 0, search_runner: Optional[Callable] = None,
                  **jit_kwargs):
         import jax
 
@@ -167,6 +168,19 @@ class PinnedJit:
         self._jit = jax.jit(fn, **jit_kwargs)
         self._cache_dir = cache_dir
         self._tag = tag
+        # Draw search: on a cache miss, compile ``search`` times and pin
+        # the executable ``search_runner(compiled, args) -> seconds``
+        # measures fastest. XLA's scheduler is nondeterministic across
+        # compiles — identical HLO spreads ~2x long-chain truth at AM
+        # scale on this backend (STATUS round 7) — so a one-time search
+        # buys every later pinned process the good draw. The runner must
+        # not consume ``args`` (no donation while searching).
+        if search and jit_kwargs.get("donate_argnums"):
+            raise ValueError("draw search cannot measure donated args")
+        if search and search_runner is None:
+            raise ValueError("search requires a search_runner")
+        self._search = int(search)
+        self._search_runner = search_runner
         self._by_sig: Dict[Any, Callable] = {}
 
     @staticmethod
@@ -208,6 +222,25 @@ class PinnedJit:
                 file=sys.stderr,
             )
             return hit[0]
+        if self._search > 1:
+            best = best_ms = None
+            for i in range(self._search):
+                # a fresh lowering per attempt — reusing one Lowered can
+                # hand back a cached executable instead of a fresh draw
+                cand = self._jit.lower(*args).compile()
+                ms = 1e3 * float(self._search_runner(cand, args))
+                print(
+                    f"exe_cache: {self._tag or 'fn'} draw {i}: "
+                    f"{ms:.1f} ms",
+                    file=sys.stderr,
+                )
+                if best_ms is None or ms < best_ms:
+                    best, best_ms = cand, ms
+            save_executable(
+                self._cache_dir, key, best,
+                {"tag": self._tag, "ms": best_ms},
+            )
+            return best
         compiled = lowered.compile()
         save_executable(
             self._cache_dir, key, compiled, {"tag": self._tag}

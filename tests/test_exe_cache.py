@@ -141,3 +141,42 @@ def test_lp_trainer_exe_pinning(tmp_path):
     )
     assert mrr1 == mrr2
     assert sorted(os.listdir(d)) == entries
+
+
+def test_nc_trainer_draw_search(tmp_path, capfd):
+    """exe_search=N compiles N draws on a miss, measures each with the
+    chained runner, and pins the fastest (meta carries its ms)."""
+    import os
+    import pickle
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.train.node_classification import train_node_classifier
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_node_classification(
+        num_nodes=50, num_rels=3, num_edges=200, num_classes=3, seed=5
+    )
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {"epochs": 3,
+                     "optimiser": {"algorithm": "adam",
+                                   "learn_rate": 0.01,
+                                   "weight_decay": 0.0}},
+        "rgcn": {"model": "rgcn", "num_layers": 2, "hidden_size": 8},
+        "evaluation": {"final_run": True},
+    })
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    train_node_classifier(
+        cfg, data, seed=1, logger=quiet, tile_size=16,
+        exe_cache_dir=d, exe_search=2,
+    )
+    err = capfd.readouterr().err
+    assert "nc_step draw 0" in err and "nc_step draw 1" in err
+    metas = []
+    for f in os.listdir(d):
+        with open(os.path.join(d, f), "rb") as fh:
+            metas.append(pickle.load(fh)["meta"])
+    step_meta = [m for m in metas if m.get("tag") == "nc_step"]
+    assert step_meta and step_meta[0]["ms"] > 0

@@ -154,3 +154,25 @@ def test_nc_loader_relation_limit(tmp_path):
     assert ".rest" in data.r2i
     # every edge's relation id is in range
     assert data.triples[:, 1].max() < len(data.i2r)
+
+
+def test_nc_labels_coded_densely():
+    """A labeled subset that misses a class value must still produce
+    labels in [0, num_classes) — raw values would silently NaN the CE
+    loss (take_along_axis fills out-of-range gathers with NaN)."""
+    from rgcn_tpu.data.loaders import NodeClassificationData
+
+    data = NodeClassificationData(
+        triples=np.zeros((0, 3), dtype=np.int64),
+        n2i={"a": 0, "b": 1, "c": 2},
+        i2n=["a", "b", "c"],
+        r2i={"r": 0},
+        i2r=["r"],
+        train={"a": 1, "b": 3},  # class 0/2 absent: values {1, 3}
+        test={"c": 3},
+    )
+    assert data.num_classes == 2
+    _, train_lbl = data.index_labels(data.train)
+    _, test_lbl = data.index_labels(data.test)
+    assert train_lbl.tolist() == [0, 1]
+    assert test_lbl.tolist() == [1]
