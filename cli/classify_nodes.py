@@ -47,6 +47,17 @@ def main():
                          "step and pin the fastest (XLA scheduling is "
                          "nondeterministic per compile; identical HLO "
                          "spreads ~2x at AM scale)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-process job (jax.distributed; "
+                         "coordinator/process from JAX_COORDINATOR_ADDRESS/"
+                         "JAX_PROCESS_ID/JAX_NUM_PROCESSES)")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="train sharded over an N-device 1-D edge mesh "
+                         "(full-batch graph edge-partitioned; exact vs "
+                         "single-device — tests/test_dist.py)")
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "xla"],
+                    help="per-shard kernel backend for --mesh runs")
     args = ap.parse_args()
 
     if args.cpu:
@@ -86,6 +97,32 @@ def main():
 
     logger = ScalarLogger(run_dir=args.run_dir, name="node_class")
     from rgcn_tpu.utils.profiling import trace
+
+    if args.distributed or args.mesh:
+        # multi-chip / multi-host path (rgcn_tpu.dist) — the reference is
+        # strictly single-device (classify_nodes.py:46-47)
+        from rgcn_tpu.dist.driver import train_node_classifier_sharded
+        from rgcn_tpu.dist.mesh import make_mesh
+        from rgcn_tpu.dist.multihost import initialize_distributed
+
+        if args.distributed:
+            initialize_distributed()
+        mesh = make_mesh(args.mesh)
+        import jax
+
+        print(
+            f"[mesh] {dict(mesh.shape)} over {len(jax.devices())} devices, "
+            f"{getattr(jax, 'process_count', lambda: 1)()} process(es)"
+        )
+        with trace(args.profile_dir, enabled=args.profile_dir is not None):
+            acc = train_node_classifier_sharded(
+                cfg, data, mesh, logger=logger, tile_size=args.tile_size,
+                backend=args.backend,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
+            )
+            logger.log_scalar("test.accuracy", round(acc, 2))
+        return
 
     with trace(args.profile_dir, enabled=args.profile_dir is not None):
         run_repeats(cfg, data, logger=logger, tile_size=args.tile_size,

@@ -44,7 +44,7 @@ from rgcn_tpu.train.optim import make_optimizer
 from rgcn_tpu.train.samplers import select_sampler
 from rgcn_tpu.utils.logging import ScalarLogger
 
-__all__ = ["train_link_predictor_sharded"]
+__all__ = ["train_link_predictor_sharded", "train_node_classifier_sharded"]
 
 
 def train_link_predictor_sharded(
@@ -269,3 +269,151 @@ def train_link_predictor_sharded(
         f"Hits@3: {hits[1]:.4f} Hits@10: {hits[2]:.4f}"
     )
     return mrr, hits, ranks, params
+
+
+def train_node_classifier_sharded(
+    cfg,
+    data,
+    mesh,
+    seed: int = 0,
+    logger: Optional[ScalarLogger] = None,
+    tile_size: int = 128,
+    edge_axis: str = EDGE_AXIS,
+    backend: str = "pallas",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    log_suffix: str = "",
+    row_block: int = 256,
+) -> float:
+    """Multi-chip node-classification training (full batch, static graph).
+
+    The sharded twin of
+    :func:`rgcn_tpu.train.node_classification.train_node_classifier`:
+    the static graph is edge-partitioned over the mesh's edge axis
+    (:func:`rgcn_tpu.dist.mesh.shard_edge_set`), the step is
+    :func:`rgcn_tpu.dist.train.make_sharded_nc_step` (per-shard message
+    passing, manual-AD collectives, replicated params), per-epoch
+    train/test accuracies come from a sharded forward. ``backend='pallas'``
+    additionally builds per-shard destination layouts
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_layouts`). The per-shard
+    message paths run the plain tile contraction — the pair / coalesced
+    indexes are single-device layouts and are not constructed here.
+
+    Returns final test accuracy (percent). Exactness vs the single-device
+    trainer is pinned by ``tests/test_dist.py``.
+    """
+    import time
+
+    from rgcn_tpu.dist.mesh import prepare_sharded_layouts, shard_edge_set
+    from rgcn_tpu.dist.train import make_sharded_nc_step
+    from rgcn_tpu.train.evaluate import accuracy
+    from rgcn_tpu.train.node_classification import build_nc_model
+
+    logger = logger or ScalarLogger()
+    rg = cfg.rgcn
+    n_shards = mesh.shape[edge_axis]
+
+    model = build_nc_model(cfg, data, axis_name=edge_axis, backend=backend)
+    init_model = build_nc_model(cfg, data)
+
+    es = build_edge_set(
+        data.triples, data.num_nodes, data.num_relations,
+        tile_size=tile_size, tile_multiple=n_shards,
+    )
+    es_s = shard_edge_set(es, mesh, axis_name=edge_axis)
+    if backend == "pallas":
+        es_s = prepare_sharded_layouts(
+            es_s, mesh, axis_name=edge_axis, row_block=row_block
+        )
+
+    train_idx_np, train_lbl_np = data.index_labels(data.train)
+    test_idx_np, test_lbl_np = data.index_labels(data.test)
+    train_idx = jnp.asarray(train_idx_np)
+    train_lbl = jnp.asarray(train_lbl_np)
+
+    params = init_model.init(jax.random.key(seed), es)
+    opt = cfg.training.optimiser
+    tx = make_optimizer(opt.algorithm, opt.learn_rate, opt.weight_decay)
+    opt_state = tx.init(params)
+
+    emb_pen = rg.node_embedding_l2_penalty
+    if emb_pen > 0.0 and rg.model != "e-rgcn":
+        raise ValueError(
+            f"cannot apply L2-regularisation on node embeddings for "
+            f"{rg.model} model"
+        )
+    step = make_sharded_nc_step(
+        model, tx, mesh, train_idx, train_lbl,
+        layer1_l2=rg.layer1_l2_penalty, embedding_l2=emb_pen,
+        axis_name=edge_axis,
+    )
+
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    def predict(params, edges):
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(), P(edge_axis)),
+            out_specs=P(), check_vma=False,
+        )
+        def fwd(params, edges):
+            return model.apply(params, edges)  # replicated after psums
+
+        return jnp.argmax(fwd(params, edges), axis=-1)
+
+    start_epoch = 1
+    if checkpoint_dir:
+        from rgcn_tpu.dist.checkpoint import restore_checkpoint_replicated
+
+        restored, ck_step = restore_checkpoint_replicated(
+            checkpoint_dir, {"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = ck_step + 1
+            logger.info(f"resumed from checkpoint at epoch {ck_step}")
+
+    epochs = cfg.training.epochs
+    for epoch in range(start_epoch, epochs + 1):
+        t1 = time.time()
+        params, opt_state, loss = step(params, opt_state, es_s)
+        loss = float(loss)
+        t2 = time.time()
+        pred = np.asarray(predict(params, es_s))
+        train_acc = accuracy(pred[train_idx_np], train_lbl_np)
+        test_acc = accuracy(pred[test_idx_np], test_lbl_np)
+        t3 = time.time()
+        logger.log_scalar(f"training.loss{log_suffix}", loss, step=epoch)
+        logger.log_scalar(
+            f"training.accuracy{log_suffix}", train_acc, step=epoch
+        )
+        logger.log_scalar(f"test.accuracy{log_suffix}", test_acc, step=epoch)
+        logger.info(
+            f"[Epoch {epoch}] Loss: {loss:.5f} Step: {(t2 - t1):.3f}s "
+            f"Eval: {(t3 - t2):.3f}s Train Accuracy: {train_acc:.2f} "
+            f"Test Accuracy: {test_acc:.2f}"
+        )
+        if checkpoint_dir and epoch % (checkpoint_every or 10) == 0:
+            from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
+
+            save_checkpoint_replicated(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state},
+                epoch,
+            )
+
+    if checkpoint_dir and epochs >= start_epoch:
+        from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
+
+        save_checkpoint_replicated(
+            checkpoint_dir, {"params": params, "opt_state": opt_state},
+            epochs,
+        )
+
+    pred = np.asarray(predict(params, es_s))
+    test_acc = accuracy(pred[test_idx_np], test_lbl_np)
+    logger.info(f"[Evaluation] Test Accuracy: {test_acc:.2f}")
+    return test_acc

@@ -35,7 +35,12 @@ from rgcn_tpu.utils.logging import ScalarLogger
 __all__ = ["build_nc_model", "train_node_classifier", "run_repeats"]
 
 
-def build_nc_model(cfg: NodeClassificationExperiment, data: NodeClassificationData):
+def build_nc_model(
+    cfg: NodeClassificationExperiment,
+    data: NodeClassificationData,
+    axis_name: str = None,
+    backend: str = "auto",
+):
     rg = cfg.rgcn
     decomp = rg.decomposition
     common = dict(
@@ -45,6 +50,8 @@ def build_nc_model(cfg: NodeClassificationExperiment, data: NodeClassificationDa
         decomposition=decomp.type if decomp else None,
         num_bases=decomp.num_bases if decomp else 0,
         num_blocks=decomp.num_blocks if decomp else 0,
+        axis_name=axis_name,
+        backend=backend,
     )
     if rg.model == "rgcn":
         return NodeClassifier(

@@ -759,3 +759,39 @@ def test_sharded_lp_step_hosted_structured_2d_mesh_exact():
 
     np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
     tree_allclose(params_s, params_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_nc_driver_matches_single_device(mesh):
+    """The full sharded NC training driver (dist/driver.py) tracks the
+    single-device trainer on the same config/data/seed. Adam + per-shard
+    float reassociation drift individual updates, so the contract is
+    metric-level: both learn, accuracies agree within a few points."""
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.dist.driver import train_node_classifier_sharded
+    from rgcn_tpu.train.node_classification import train_node_classifier
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_node_classification(
+        num_nodes=200, num_rels=6, num_edges=1200, num_classes=3,
+        labeled_frac=0.6, signal=0.9, seed=7,
+    )
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {"epochs": 50,
+                     "optimiser": {"algorithm": "adam",
+                                   "learn_rate": 0.01,
+                                   "weight_decay": 0.0}},
+        "rgcn": {"model": "rgcn", "num_layers": 2, "hidden_size": 8,
+                 "decomposition": {"type": "basis", "num_bases": 3}},
+        "evaluation": {"final_run": True},
+    })
+    quiet = ScalarLogger(verbose=False)
+    acc_1 = train_node_classifier(cfg, data, seed=3, logger=quiet,
+                                  tile_size=8)
+    acc_s = train_node_classifier_sharded(
+        cfg, data, mesh, seed=3, logger=quiet, tile_size=8,
+        backend="pallas",
+    )
+    assert acc_1 >= 70.0 and acc_s >= 70.0, (acc_1, acc_s)
+    assert abs(acc_1 - acc_s) <= 8.0, (acc_1, acc_s)
