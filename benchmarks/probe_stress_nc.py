@@ -382,6 +382,11 @@ def main():
             o in name for o in only if o not in variants
         )
 
+    if only is None and not args.ab:
+        # a bare invocation must not compile ~20 variants (each is a
+        # multi-minute remote compile); default to the production step
+        only = ["pairs"]
+
     results = {}
     if args.ab:
         named = {}
@@ -398,11 +403,17 @@ def main():
     for name, (builder, es, opt, f32) in variants.items():
         if args.ab or not selected(name):
             continue
-        if name in ("plain",) and not args.only:
-            continue  # multi-minute compile; opt in via --only plain
+        import rgcn_tpu.ops.pallas_aggregate as _pa2
+
         ctx = force_f32_pair_tables() if f32 else contextlib.nullcontext()
-        with ctx:
-            dt = chain(builder(), es, args.iters, opt=opt)
+        old_fuse = _pa2._PAIRS_INPUT_FUSION
+        if "nofuse" in name:
+            _pa2._PAIRS_INPUT_FUSION = False
+        try:
+            with ctx:
+                dt = chain(builder(), es, args.iters, opt=opt)
+        finally:
+            _pa2._PAIRS_INPUT_FUSION = old_fuse
         results[name] = round(dt * 1e3, 1)
         print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 

@@ -105,6 +105,10 @@ def main():
         from rgcn_tpu.dist.mesh import make_mesh
         from rgcn_tpu.dist.multihost import initialize_distributed
 
+        if args.exe_cache_dir or args.exe_search:
+            print("[warn] --exe-cache-dir/--exe-search apply to the "
+                  "single-device trainer only; the sharded driver has no "
+                  "executable pinning yet -- flags ignored")
         if args.distributed:
             initialize_distributed()
         mesh = make_mesh(args.mesh)

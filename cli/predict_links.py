@@ -95,6 +95,10 @@ def main():
             make_mesh_2d,
         )
 
+        if args.exe_cache_dir:
+            print("[warn] --exe-cache-dir applies to the single-device "
+                  "trainer only; the sharded driver has no executable "
+                  "pinning yet -- flag ignored")
         if args.distributed:
             initialize_distributed()
         if args.mesh and args.mesh != "auto":

@@ -283,7 +283,7 @@ def train_node_classifier_sharded(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     log_suffix: str = "",
-    row_block: int = 256,
+    row_block: Optional[int] = None,  # None -> auto_nc_row_block(N)
 ) -> float:
     """Multi-chip node-classification training (full batch, static graph).
 
@@ -322,6 +322,10 @@ def train_node_classifier_sharded(
     )
     es_s = shard_edge_set(es, mesh, axis_name=edge_axis)
     if backend == "pallas":
+        if row_block is None:
+            from rgcn_tpu.graph.structure import auto_nc_row_block
+
+            row_block = auto_nc_row_block(data.num_nodes)
         es_s = prepare_sharded_layouts(
             es_s, mesh, axis_name=edge_axis, row_block=row_block
         )
@@ -405,7 +409,11 @@ def train_node_classifier_sharded(
                 epoch,
             )
 
-    if checkpoint_dir and epochs >= start_epoch:
+    if (
+        checkpoint_dir
+        and epochs >= start_epoch
+        and epochs % (checkpoint_every or 10) != 0
+    ):
         from rgcn_tpu.dist.checkpoint import save_checkpoint_replicated
 
         save_checkpoint_replicated(

@@ -171,6 +171,13 @@ class PairAggLayout:
     ``grad_layout`` (slots grouped by pair), with the slot→edge and
     slot→dst maps pre-composed on the host (``grad_edge``/``grad_dst``;
     sentinel values ``E_pad``/``num_nodes`` index appended zero rows).
+
+    CAUTION: like ``EdgeSet.merged``, this freezes a snapshot — here the
+    composition with the build-time ``layout.perm``. Replacing an
+    EdgeSet's ``layout`` (or ``pairs``) MUST also drop ``pairs.agg``, or
+    the composed aggregation silently pairs values with the wrong rows.
+    (Replacing ``val`` is safe: values enter in-jit through the live
+    ``layout.perm``.)
     """
 
     slot_pair: np.ndarray  # (L,) int32 in [0, U_pad]
@@ -393,7 +400,7 @@ def build_edge_set(
     loses the two-hop path's locality (edges→pairs is contiguous within
     relation segments, layout-perm→edges is dst-block ordered) and ran
     2.3× slower forward (interleaved chains, 1126.7 vs 482.8 ms;
-    ``benchmarks/probe_stress_nc.py --ab fwd_nofuse,fwd_noagg``), with
+    ``benchmarks/probe_stress_nc.py --ab fwd_agg_nofuse,fwd_noagg``), with
     kernel input fusion worse still (2631 ms). Kept for exactness-tested
     experimentation on other topologies.
 

@@ -41,6 +41,19 @@ from rgcn_tpu.ops.collectives import maybe_all_reduce, maybe_fanout
 __all__ = ["RGCNConv", "DistMult", "TorchLinear"]
 
 
+
+def _tpu_compute_dtype():
+    """bf16 edge-stage compute dtype on real TPU backends, None elsewhere.
+
+    The gather-dominated message paths run their tables/messages in bf16
+    with f32 accumulation on hardware (XLA's f32 matmuls are one-pass
+    bf16 on the MXU anyway; the bf16 gather halves the dominant HBM
+    traffic), while CPU/interpret runs stay f32 for exactness tests.
+    """
+    return (
+        jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else None
+    )
+
 class RGCNConv(nn.Module):
     """Relational graph convolution over a static :class:`EdgeSet`.
 
@@ -127,11 +140,7 @@ class RGCNConv(nn.Module):
                 # aggregation kernel) — halves the dominant HBM traffic
                 from rgcn_tpu.ops.pallas_diag import rel_spmm_diag_ad
 
-                cd = (
-                    jnp.bfloat16
-                    if jax.default_backend() in ("tpu", "axon")
-                    else None
-                )
+                cd = _tpu_compute_dtype()
                 agg = rel_spmm_diag_ad(
                     edges, self._fan(x), self._fan(weights[:-1]),
                     compute_dtype=cd,
@@ -176,11 +185,7 @@ class RGCNConv(nn.Module):
                         rel_spmm_featureless_basis_ad,
                     )
 
-                    cd = (
-                        jnp.bfloat16
-                        if jax.default_backend() in ("tpu", "axon")
-                        else None
-                    )
+                    cd = _tpu_compute_dtype()
                     agg = rel_spmm_featureless_basis_ad(
                         edges, self._fan(bases), self._fan(comps[:-1]),
                         compute_dtype=cd,
@@ -189,11 +194,7 @@ class RGCNConv(nn.Module):
                     # bf16 gather table on real TPUs (f32 accumulation):
                     # halves the wide (nb·dout)-row gather bytes that
                     # dominate the many-basis featureless step (AM)
-                    cd = (
-                        jnp.bfloat16
-                        if jax.default_backend() in ("tpu", "axon")
-                        else None
-                    )
+                    cd = _tpu_compute_dtype()
                     agg = spmm_ops.rel_spmm_featureless_basis(
                         edges, self._fan(bases), self._fan(comps[:-1]),
                         aggregate=self._aggregate_fn(edges),
@@ -213,11 +214,7 @@ class RGCNConv(nn.Module):
                 # XLA's f32 matmuls are one-pass bf16 on the MXU anyway,
                 # and the bf16 gather halves the dominant HBM traffic. The
                 # CPU/interpret path stays f32 for exactness tests.
-                cd = (
-                    jnp.bfloat16
-                    if jax.default_backend() in ("tpu", "axon")
-                    else None
-                )
+                cd = _tpu_compute_dtype()
                 if input_blocks is not None:
                     # gather straight from the ≤128-column embedding
                     # parameter blocks with the input activation fused
@@ -253,11 +250,7 @@ class RGCNConv(nn.Module):
                 # unique (src, rel) pair — the per-tile expanded-weight
                 # matmuls at narrow (din, dout) waste the MXU and measured
                 # ~9x slower at AM scale (ops/spmm.py::rel_spmm_basis_pairs)
-                cd = (
-                    jnp.bfloat16
-                    if jax.default_backend() in ("tpu", "axon")
-                    else None
-                )
+                cd = _tpu_compute_dtype()
                 agg = spmm_ops.rel_spmm_basis_pairs(
                     edges, self._fan(x), self._fan(bases),
                     self._fan(comps[:-1]),

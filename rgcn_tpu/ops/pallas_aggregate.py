@@ -359,17 +359,19 @@ def aggregate_messages_ad(messages, edges):
 # ---------------------------------------------------------------------------
 
 
-# None -> backend default; probes override to force a choice (the input
-# fusion question for this path is empirical: the producer is a gather of
-# a small COMPUTED table with duplicated rows — neither of the two
-# measured categories from round 3).
+# None -> default (OFF: fusing the composed slot->pair gather into the
+# kernel input pipeline measured 2631 ms vs 1126.7 unfused on the AM
+# forward — interleaved chains, probe_stress_nc --ab; the producer is a
+# gather of a small COMPUTED table with duplicated rows, which behaves
+# like the round-3 "permutation of a materialized tensor" loser, not the
+# "source gather of a small node table" winner). Probes override.
 _PAIRS_INPUT_FUSION = None
 
 
 def _pairs_fusion_default() -> bool:
     if _PAIRS_INPUT_FUSION is not None:
         return _PAIRS_INPUT_FUSION
-    return jax.default_backend() in ("tpu", "axon")
+    return False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
