@@ -358,6 +358,72 @@ def main() -> int:
     if not ok:
         failures.append("sharded_structured_vs_single_params")
 
+    # sharded NC step under real Mosaic (the program each shard of the
+    # multi-chip NC driver runs; interpret-mode CPU tests cannot gate
+    # Mosaic): pallas-vs-xla backend on identical inputs
+    from rgcn_tpu.dist.mesh import prepare_sharded_layouts, shard_edge_set
+    from rgcn_tpu.dist.train import make_sharded_nc_step
+    from rgcn_tpu.graph.structure import build_edge_set
+    from rgcn_tpu.models import NodeClassifier
+
+    rng_nc = np.random.default_rng(3)
+    n_nc, r_nc, c_nc = 600, 6, 4
+    tri_nc = np.stack(
+        [
+            rng_nc.integers(0, n_nc, 3000),
+            rng_nc.integers(0, r_nc, 3000),
+            rng_nc.integers(0, n_nc, 3000),
+        ],
+        axis=1,
+    )
+    nc_kwargs = dict(
+        num_nodes=n_nc, num_relations=r_nc, num_classes=c_nc,
+        hidden_size=16, decomposition="basis", num_bases=3,
+    )
+    es_nc = build_edge_set(tri_nc, n_nc, r_nc, tile_size=128)
+    es_nc_s = shard_edge_set(es_nc, mesh1)
+    es_nc_p = prepare_sharded_layouts(es_nc_s, mesh1, row_block=128)
+    params_nc = NodeClassifier(**nc_kwargs).init(jax.random.key(6), es_nc)
+    idx_nc = jnp.arange(48)
+    lbl_nc = jnp.asarray(rng_nc.integers(0, c_nc, 48))
+    out_nc = {}
+    for tag, es_use in (("pallas", es_nc_p), ("xla", es_nc_s)):
+        model_nc = NodeClassifier(
+            axis_name=EDGE_AXIS, backend=tag, **nc_kwargs
+        )
+        step_nc = make_sharded_nc_step(
+            model_nc, tx_s, mesh1, idx_nc, lbl_nc, layer1_l2=0.01
+        )
+        p2, _, loss_nc = step_nc(params_nc, tx_s.init(params_nc), es_use)
+        out_nc[tag] = (jax.tree.map(np.asarray, p2), float(loss_nc))
+        del p2
+    ok = np.isfinite(out_nc["pallas"][1])
+    print(
+        f"{'PASS' if ok else 'FAIL'} sharded_nc_mosaic_compiles: "
+        f"loss={out_nc['pallas'][1]:.5f}"
+    )
+    if not ok:
+        failures.append("sharded_nc_mosaic_compiles")
+    check(
+        "sharded_nc_pallas_vs_xla_loss",
+        np.asarray([out_nc["pallas"][1]]), np.asarray([out_nc["xla"][1]]),
+        3e-2, 3e-2,
+    )
+    max_err_nc = max(
+        float(np.max(np.abs(a - b) / (np.abs(b) + 1.0)))
+        for a, b in zip(
+            jax.tree.leaves(out_nc["pallas"][0]),
+            jax.tree.leaves(out_nc["xla"][0]),
+        )
+    )
+    ok = max_err_nc < 3e-2
+    print(
+        f"{'PASS' if ok else 'FAIL'} sharded_nc_pallas_vs_xla_params: "
+        f"max rel err {max_err_nc:.2e}"
+    )
+    if not ok:
+        failures.append("sharded_nc_pallas_vs_xla_params")
+
     if failures:
         print(f"tpu_smoke FAILED: {failures}", file=sys.stderr)
         return 1
