@@ -39,6 +39,9 @@ def main():
                     help="pin the compiled train step here (kills the "
                          "minutes-long remote recompile and compile-draw "
                          "lottery on restarts; HLO-hash keyed)")
+    ap.add_argument("--exe-search", type=int, default=0,
+                    help="on a cache miss, compile N draws of the train "
+                         "step and pin the fastest")
     ap.add_argument("--distributed", action="store_true",
                     help="join a multi-process job (jax.distributed; "
                          "coordinator/process from JAX_COORDINATOR_ADDRESS/"
@@ -95,7 +98,7 @@ def main():
             make_mesh_2d,
         )
 
-        if args.exe_cache_dir:
+        if args.exe_cache_dir or args.exe_search:
             print("[warn] --exe-cache-dir applies to the single-device "
                   "trainer only; the sharded driver has no executable "
                   "pinning yet -- flag ignored")
@@ -129,7 +132,7 @@ def main():
             cfg, data, logger=logger, tile_size=args.tile_size,
             max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
-            exe_cache_dir=args.exe_cache_dir,
+            exe_cache_dir=args.exe_cache_dir, exe_search=args.exe_search,
         )
 
 

@@ -186,6 +186,7 @@ def train_link_predictor(
     host_graph_build: Optional[bool] = None,
     feature_blocks: bool = False,
     exe_cache_dir: Optional[str] = None,
+    exe_search: int = 0,
 ):
     """Train and evaluate; returns (final_mrr, hits, ranks, params).
 
@@ -193,7 +194,9 @@ def train_link_predictor(
     (:class:`rgcn_tpu.utils.exe_cache.PinnedJit`, HLO-hash keyed; buffer
     donation is preserved through serialization) — kills the
     minutes-long remote recompile and the compile-draw lottery on
-    restarts. Off by default.
+    restarts. Off by default. ``exe_search=N`` additionally compiles N
+    draws on the first miss and pins the fastest (measured on device
+    copies — the step donates its params/opt_state buffers).
     """
     logger = logger or ScalarLogger()
     enc = cfg.encoder
@@ -277,8 +280,34 @@ def train_link_predictor(
         if exe_cache_dir:
             from rgcn_tpu.utils.exe_cache import PinnedJit
 
+            def _chain_runner(compiled, args):
+                """Chained-diff seconds/step of a candidate executable.
+                The step donates (params, opt_state) — measure on device
+                COPIES so the trainer's originals survive the search."""
+                import time as _time
+
+                p0, o0 = args[0], args[1]
+                rest = args[2:]
+
+                def run(k):
+                    p = jax.tree.map(jnp.copy, p0)
+                    o = jax.tree.map(jnp.copy, o0)
+                    best = None
+                    for _ in range(2):
+                        t0 = _time.perf_counter()
+                        for _ in range(k):
+                            p, o, loss = compiled(p, o, *rest)
+                        float(loss)
+                        dt = _time.perf_counter() - t0
+                        best = dt if best is None else min(best, dt)
+                    return best
+
+                iters = 6
+                return max((run(1 + iters) - run(1)) / iters, 1e-9)
+
             return PinnedJit(
-                fn, exe_cache_dir, tag="lp_step", donate_argnums=(0, 1)
+                fn, exe_cache_dir, tag="lp_step", donate_argnums=(0, 1),
+                search=exe_search, search_runner=_chain_runner,
             )
         return jax.jit(fn, donate_argnums=(0, 1))
 

@@ -55,12 +55,16 @@ def _path(cache_dir: str, key: str) -> str:
     return os.path.join(cache_dir, f"exe_{key}.pkl")
 
 
-def save_executable(
-    cache_dir: str, key: str, compiled, meta: Dict[str, Any]
-) -> Optional[str]:
-    """Serialize ``compiled`` (a ``jax.stages.Compiled``) + ``meta`` to the
-    cache. Returns the path, or None (with a stderr note) on failure —
-    saving is best-effort, never fatal to the caller."""
+def serialize_compiled(compiled) -> Optional[Dict[str, Any]]:
+    """Serialize a ``jax.stages.Compiled`` to a picklable record, or None
+    (with a stderr note).
+
+    Serialize BEFORE the executable's first execution: executables whose
+    programs contain sort comparators fail with ``UNIMPLEMENTED:
+    `LessThan` is not serializable`` once they have run (measured on this
+    jax build; the draw search therefore captures each candidate's
+    payload before timing it).
+    """
     try:
         from jax.experimental.serialize_executable import serialize
 
@@ -73,26 +77,47 @@ def save_executable(
             n_dev = len(compiled.runtime_executable().local_devices())
         except Exception:  # noqa: BLE001
             n_dev = 1
+        return {
+            "payload": payload,
+            "in_tree": in_tree,
+            "out_tree": out_tree,
+            "n_dev": n_dev,
+        }
+    except Exception as e:  # noqa: BLE001 — report and move on
+        print(f"exe_cache: serialize failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return None
+
+
+def write_record(
+    cache_dir: str, key: str, record: Dict[str, Any], meta: Dict[str, Any]
+) -> Optional[str]:
+    """Write a :func:`serialize_compiled` record + meta atomically."""
+    try:
         os.makedirs(cache_dir, exist_ok=True)
         path = _path(cache_dir, key)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump(
-                {
-                    "payload": payload,
-                    "in_tree": in_tree,
-                    "out_tree": out_tree,
-                    "n_dev": n_dev,
-                    "meta": dict(meta),
-                },
-                f,
-            )
+            pickle.dump({**record, "meta": dict(meta)}, f)
         os.replace(tmp, path)  # atomic vs concurrent readers
         return path
-    except Exception as e:  # noqa: BLE001 — report and move on
+    except Exception as e:  # noqa: BLE001
         print(f"exe_cache: save failed ({type(e).__name__}: {e})",
               file=sys.stderr)
         return None
+
+
+def save_executable(
+    cache_dir: str, key: str, compiled, meta: Dict[str, Any]
+) -> Optional[str]:
+    """Serialize ``compiled`` + ``meta`` to the cache. Returns the path,
+    or None (with a stderr note) on failure — saving is best-effort,
+    never fatal to the caller. See :func:`serialize_compiled` for the
+    serialize-before-execution requirement."""
+    record = serialize_compiled(compiled)
+    if record is None:
+        return None
+    return write_record(cache_dir, key, record, meta)
 
 
 def load_executable(
@@ -174,9 +199,9 @@ class PinnedJit:
         # compiles — identical HLO spreads ~2x long-chain truth at AM
         # scale on this backend (STATUS round 7) — so a one-time search
         # buys every later pinned process the good draw. The runner must
-        # not consume ``args`` (no donation while searching).
-        if search and jit_kwargs.get("donate_argnums"):
-            raise ValueError("draw search cannot measure donated args")
+        # leave ``args`` intact for the real first call: with
+        # ``donate_argnums`` it must thread device COPIES of the donated
+        # args through the candidate, never the originals.
         if search and search_runner is None:
             raise ValueError("search requires a search_runner")
         self._search = int(search)
@@ -223,11 +248,15 @@ class PinnedJit:
             )
             return hit[0]
         if self._search > 1:
-            best = best_ms = None
+            best = best_rec = best_ms = None
             for i in range(self._search):
                 # a fresh lowering per attempt — reusing one Lowered can
                 # hand back a cached executable instead of a fresh draw
                 cand = self._jit.lower(*args).compile()
+                # capture the payload BEFORE timing: executed executables
+                # with sort comparators refuse to serialize (see
+                # serialize_compiled)
+                rec = serialize_compiled(cand)
                 ms = 1e3 * float(self._search_runner(cand, args))
                 print(
                     f"exe_cache: {self._tag or 'fn'} draw {i}: "
@@ -235,11 +264,12 @@ class PinnedJit:
                     file=sys.stderr,
                 )
                 if best_ms is None or ms < best_ms:
-                    best, best_ms = cand, ms
-            save_executable(
-                self._cache_dir, key, best,
-                {"tag": self._tag, "ms": best_ms},
-            )
+                    best, best_rec, best_ms = cand, rec, ms
+            if best_rec is not None:
+                write_record(
+                    self._cache_dir, key, best_rec,
+                    {"tag": self._tag, "ms": best_ms},
+                )
             return best
         compiled = lowered.compile()
         save_executable(

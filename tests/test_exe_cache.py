@@ -180,3 +180,53 @@ def test_nc_trainer_draw_search(tmp_path, capfd):
             metas.append(pickle.load(fh)["meta"])
     step_meta = [m for m in metas if m.get("tag") == "nc_step"]
     assert step_meta and step_meta[0]["ms"] > 0
+
+
+def test_lp_trainer_draw_search_donation_safe(tmp_path, capfd):
+    """LP exe_search measures candidates on device COPIES (the step
+    donates params/opt_state): the search must not invalidate the
+    trainer's own buffers, and the winning draw is pinned with its ms."""
+    import os
+    import pickle
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.train.link_prediction import train_link_predictor
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_link_prediction(num_nodes=40, num_rels=3,
+                                     num_edges=200)
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {
+            "epochs": 3, "graph_batch_size": 32,
+            "negative_sampling": {"sampling_rate": 2, "head_prob": 0.5},
+            "optimiser": {"algorithm": "adam", "learn_rate": 0.01,
+                          "weight_decay": 0.0},
+        },
+        "encoder": {"model": "rgcn", "num_layers": 1,
+                    "node_embedding": 8, "hidden1_size": 8},
+        "decoder": {"model": "distmult", "l2_penalty": 0.01,
+                    "l2_penalty_type": "schlichtkrull-l2"},
+        "evaluation": {"final_run": True, "filtered": True,
+                       "check_every": 100, "batch_size": 16},
+    })
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    mrr1, _, _, _ = train_link_predictor(
+        cfg, data, seed=2, logger=quiet, tile_size=8,
+        exe_cache_dir=d, exe_search=2,
+    )
+    err = capfd.readouterr().err
+    assert "lp_step draw 0" in err and "lp_step draw 1" in err
+    metas = []
+    for f in os.listdir(d):
+        with open(os.path.join(d, f), "rb") as fh:
+            metas.append(pickle.load(fh)["meta"])
+    step_meta = [m for m in metas if m.get("tag") == "lp_step"]
+    assert step_meta and step_meta[0]["ms"] > 0
+    # pinned re-run reproduces
+    mrr2, _, _, _ = train_link_predictor(
+        cfg, data, seed=2, logger=quiet, tile_size=8, exe_cache_dir=d
+    )
+    assert mrr1 == mrr2
