@@ -248,27 +248,40 @@ class PinnedJit:
             )
             return hit[0]
         if self._search > 1:
-            best = best_rec = best_ms = None
+            best = best_ms = None  # fastest overall (returned)
+            pin = pin_ms = None  # fastest WITH a payload (persisted)
             for i in range(self._search):
                 # a fresh lowering per attempt — reusing one Lowered can
                 # hand back a cached executable instead of a fresh draw
                 cand = self._jit.lower(*args).compile()
-                # capture the payload BEFORE timing: executed executables
-                # with sort comparators refuse to serialize (see
-                # serialize_compiled)
+                # capture the payload BEFORE timing: once any program
+                # with a sort comparator has EXECUTED in the process,
+                # serialization of such executables starts failing
+                # (UNIMPLEMENTED: `LessThan` is not serializable —
+                # measured flaky per candidate on jax-CPU), so candidates
+                # that refuse to serialize are measured but cannot be
+                # pinned
                 rec = serialize_compiled(cand)
                 ms = 1e3 * float(self._search_runner(cand, args))
                 print(
                     f"exe_cache: {self._tag or 'fn'} draw {i}: "
-                    f"{ms:.1f} ms",
+                    f"{ms:.1f} ms" + ("" if rec else " (unserializable)"),
                     file=sys.stderr,
                 )
                 if best_ms is None or ms < best_ms:
-                    best, best_rec, best_ms = cand, rec, ms
-            if best_rec is not None:
+                    best, best_ms = cand, ms
+                if rec is not None and (pin_ms is None or ms < pin_ms):
+                    pin, pin_ms = rec, ms
+            if pin is not None:
                 write_record(
-                    self._cache_dir, key, best_rec,
-                    {"tag": self._tag, "ms": best_ms},
+                    self._cache_dir, key, pin,
+                    {"tag": self._tag, "ms": pin_ms},
+                )
+            else:
+                print(
+                    f"exe_cache: {self._tag or 'fn'}: no candidate "
+                    "serialized; nothing pinned",
+                    file=sys.stderr,
                 )
             return best
         compiled = lowered.compile()
