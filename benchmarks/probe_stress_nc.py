@@ -214,6 +214,22 @@ def main():
     def expr_l1full_l2(params, es):
         return expr_l1full(params, es) + 5e-4 * model.layer1_l2(params)
 
+    def expr_gc_mul(params, es):
+        # explicit multiply+reduce instead of einsum: if XLA lowers the
+        # contraction as U batched (1,nb)@(nb,dout) GEMMs it pads each to
+        # MXU tiles; elementwise mul+sum cannot take that path
+        t = _table(params)
+        c = params["params"]["rgc1"]["comps"][:-1]
+        pi = es.pairs
+        rows = jax.lax.optimization_barrier(t[pi.pair_src]).reshape(
+            -1, args.bases, args.hidden
+        )
+        c_u = c[pi.pair_rel]
+        m = (rows * c_u[:, :, None].astype(rows.dtype)).sum(
+            axis=1, dtype=jnp.float32
+        )
+        return jnp.sum(m)
+
     def expr_gc_mat(params, es):
         # like expr_gather_contract but with a barrier AFTER the gather:
         # forces one contiguous (U, nb*dout) gather pass instead of
@@ -309,6 +325,8 @@ def main():
         "xp_gc": (lambda: make_expr_step(expr_gather_contract), es_pairs,
                   tx, False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_pairs, tx,
+                     False),
+        "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_pairs, tx,
                      False),
         "xp_l1": (lambda: make_expr_step(expr_l1full), es_pairs, tx,
                   False),
