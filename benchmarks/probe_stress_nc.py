@@ -60,6 +60,10 @@ def main():
                          "cross-variant comparison at this scale)")
     ap.add_argument("--rounds", type=int, default=4,
                     help="interleaved A/B rounds")
+    ap.add_argument("--draws", type=int, default=1,
+                    help="compile draws per variant before interleaving "
+                         "(draw-search; each is a multi-minute remote "
+                         "compile at AM scale)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -333,7 +337,7 @@ def main():
         "xp_l1l2": (lambda: make_expr_step(expr_l1full_l2), es_pairs, tx,
                     False),
     }
-    def chain_interleaved(named_steps, iters, rounds=4):
+    def chain_interleaved(named_steps, iters, rounds=4, draws=1):
         """Interleaved A/B: compile every variant, then alternate
         short/long chain measurements across variants for several rounds
         and take the per-variant min difference. At AM scale a single
@@ -341,7 +345,16 @@ def main():
         congestion bursts on the tunneled chip (observed: a forward-only
         program 'measuring' 2.3x its own full training step in one-shot
         chains). Interleaving exposes every variant to the same bursts;
-        min-over-rounds recovers each variant's floor."""
+        min-over-rounds recovers each variant's floor.
+
+        ``draws > 1`` additionally DRAW-SEARCHES each variant before
+        interleaving: the compile-draw lottery hits small piece programs
+        as hard as full steps (round 7: a conv1-only program drew
+        1.5-3.1 s against a 725 ms full step, which blocked per-piece
+        attribution) — compiling N fresh draws per variant and keeping
+        the fastest by a short chained estimate gives every variant its
+        good draw before the honest interleaved comparison starts, the
+        same remedy the trainers use (exe_search)."""
         import rgcn_tpu.ops.pallas_aggregate as _pa
 
         states = {}
@@ -350,8 +363,8 @@ def main():
             opt_state = opt.init(params)
             t0 = time.time()
             # "_nofuse"/"_f32" variants flip TRACE-time choices — they
-            # must wrap the FIRST call (where jit traces), not the
-            # builder
+            # must wrap the FIRST call / lowering (where jit traces),
+            # not the builder
             old_fuse = _pa._PAIRS_INPUT_FUSION
             if "nofuse" in name:
                 _pa._PAIRS_INPUT_FUSION = False
@@ -362,6 +375,36 @@ def main():
             )
             try:
                 with ctx:
+                    if draws > 1:
+                        best_c = best_ms = None
+                        for i in range(draws):
+                            # a fresh lowering per attempt — reusing one
+                            # Lowered can hand back a cached executable
+                            # instead of a fresh draw
+                            td = time.time()
+                            cand = step.lower(
+                                params, opt_state, es
+                            ).compile()
+                            p, o, loss = cand(params, opt_state, es)
+                            float(loss)
+                            t_s = time.perf_counter()
+                            p, o, loss = cand(p, o, es)
+                            float(loss)
+                            t_s = time.perf_counter() - t_s
+                            t_l = time.perf_counter()
+                            for _ in range(4):
+                                p, o, loss = cand(p, o, es)
+                            float(loss)
+                            t_l = time.perf_counter() - t_l
+                            ms = (t_l - t_s) / 3 * 1e3
+                            print(
+                                f"  [{name}] draw {i}: {ms:.1f} ms "
+                                f"(compile+est {time.time() - td:.1f}s)",
+                                flush=True,
+                            )
+                            if best_ms is None or ms < best_ms:
+                                best_c, best_ms = cand, ms
+                        step = best_c
                     params, opt_state, loss = step(params, opt_state, es)
             finally:
                 _pa._PAIRS_INPUT_FUSION = old_fuse
@@ -415,7 +458,8 @@ def main():
                     named[name] = (builder(), es, opt)
             else:
                 named[name] = (builder(), es, opt)
-        results = chain_interleaved(named, args.iters, rounds=args.rounds)
+        results = chain_interleaved(named, args.iters, rounds=args.rounds,
+                                    draws=args.draws)
         for name, ms in results.items():
             print(f"  {name}: {ms} ms/step (interleaved min)", flush=True)
     for name, (builder, es, opt, f32) in variants.items():

@@ -105,10 +105,6 @@ def main():
         from rgcn_tpu.dist.mesh import make_mesh
         from rgcn_tpu.dist.multihost import initialize_distributed
 
-        if args.exe_cache_dir or args.exe_search:
-            print("[warn] --exe-cache-dir/--exe-search apply to the "
-                  "single-device trainer only; the sharded driver has no "
-                  "executable pinning yet -- flags ignored")
         if args.distributed:
             initialize_distributed()
         mesh = make_mesh(args.mesh)
@@ -124,6 +120,8 @@ def main():
                 backend=args.backend,
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_every=args.checkpoint_every,
+                exe_cache_dir=args.exe_cache_dir,
+                exe_search=args.exe_search,
             )
             logger.log_scalar("test.accuracy", round(acc, 2))
         return

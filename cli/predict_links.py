@@ -98,10 +98,6 @@ def main():
             make_mesh_2d,
         )
 
-        if args.exe_cache_dir or args.exe_search:
-            print("[warn] --exe-cache-dir applies to the single-device "
-                  "trainer only; the sharded driver has no executable "
-                  "pinning yet -- flag ignored")
         if args.distributed:
             initialize_distributed()
         if args.mesh and args.mesh != "auto":
@@ -124,6 +120,8 @@ def main():
                 max_epochs=args.epochs,
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_every=args.checkpoint_every,
+                exe_cache_dir=args.exe_cache_dir,
+                exe_search=args.exe_search,
             )
         return
 

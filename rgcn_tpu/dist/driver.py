@@ -47,6 +47,65 @@ from rgcn_tpu.utils.logging import ScalarLogger
 __all__ = ["train_link_predictor_sharded", "train_node_classifier_sharded"]
 
 
+def _pin_sharded(
+    fn, exe_cache_dir, tag, mesh, logger,
+    search: int = 0, search_runner=None,
+):
+    """Wrap an (already jitted) sharded step in
+    :class:`rgcn_tpu.utils.exe_cache.PinnedJit` when pinning is requested
+    and possible — the sharded twin of the single-device trainers'
+    ``exe_cache_dir`` support (compile draws of identical HLO spread ~2x
+    long-chain truth at AM scale; see docs/PERF.md law 4).
+
+    Pinning is single-PROCESS only: a serialized executable re-binds to
+    local devices at load, which cannot reproduce a multi-host device
+    assignment (and concurrent processes would race the cache writes).
+    Multi-device single-process meshes pin fine — the loaded executable is
+    re-bound to the compiling mesh's own device order (``devices=``)."""
+    if not exe_cache_dir:
+        return fn
+    if getattr(jax, "process_count", lambda: 1)() > 1:
+        logger.info(
+            f"exe_cache: pinning is single-process only; "
+            f"exe_cache_dir ignored for {tag}"
+        )
+        return fn
+    from rgcn_tpu.utils.exe_cache import PinnedJit
+
+    return PinnedJit(
+        fn, exe_cache_dir, tag=tag,
+        search=search, search_runner=search_runner,
+        devices=list(mesh.devices.flat),
+    )
+
+
+def _sharded_chain_runner(compiled, args):
+    """Chained-diff seconds/step of a candidate sharded step executable
+    ``(params, opt_state, *rest) -> (params, opt_state, loss)``. The
+    sharded steps do not donate, so the caller's originals survive;
+    fetching the loss scalar is the only reliable sync on the tunneled
+    backend, and differencing two chain lengths cancels its RPC cost."""
+    import time as _time
+
+    p0, o0 = args[0], args[1]
+    rest = args[2:]
+
+    def run(k):
+        p, o = p0, o0
+        best = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                p, o, loss = compiled(p, o, *rest)
+            float(loss)
+            dt = _time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    iters = 4
+    return max((run(1 + iters) - run(1)) / iters, 1e-9)
+
+
 def train_link_predictor_sharded(
     cfg: LinkPredictionExperiment,
     data: LinkPredictionData,
@@ -59,13 +118,17 @@ def train_link_predictor_sharded(
     backend: str = "pallas",
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
+    exe_cache_dir: Optional[str] = None,
+    exe_search: int = 0,
 ):
     """Train over the mesh; returns (final_mrr, hits, ranks, params).
 
     ``checkpoint_dir`` enables process-0-writes / all-restore persistence
     (:mod:`rgcn_tpu.dist.checkpoint`); resume reproduces the exact RNG
     schedule of an uninterrupted run (epoch-indexed keys, like the
-    single-device driver)."""
+    single-device driver). ``exe_cache_dir`` pins the compiled sharded
+    step across processes (``exe_search=N`` draw-searches on the first
+    miss); single-process meshes only — see :func:`_pin_sharded`."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -139,6 +202,10 @@ def train_link_predictor_sharded(
             decoder_l2_weight=cfg.decoder.l2_penalty,
             axis_name=edge_axis,
         )
+    step = _pin_sharded(
+        step, exe_cache_dir, "sharded_lp_step", mesh, logger,
+        search=exe_search, search_runner=_sharded_chain_runner,
+    )
 
     def sample_epoch(epoch):
         if batch_size >= len(train_np):
@@ -284,6 +351,8 @@ def train_node_classifier_sharded(
     checkpoint_every: Optional[int] = None,
     log_suffix: str = "",
     row_block: Optional[int] = None,  # None -> auto_nc_row_block(N)
+    exe_cache_dir: Optional[str] = None,
+    exe_search: int = 0,
 ) -> float:
     """Multi-chip node-classification training (full batch, static graph).
 
@@ -351,13 +420,16 @@ def train_node_classifier_sharded(
         layer1_l2=rg.layer1_l2_penalty, embedding_l2=emb_pen,
         axis_name=edge_axis,
     )
+    step = _pin_sharded(
+        step, exe_cache_dir, "sharded_nc_step", mesh, logger,
+        search=exe_search, search_runner=_sharded_chain_runner,
+    )
 
     import functools
 
     from jax.sharding import PartitionSpec as P
 
-    @jax.jit
-    def predict(params, edges):
+    def _predict(params, edges):
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=(P(), P(edge_axis)),
             out_specs=P(), check_vma=False,
@@ -366,6 +438,10 @@ def train_node_classifier_sharded(
             return model.apply(params, edges)  # replicated after psums
 
         return jnp.argmax(fwd(params, edges), axis=-1)
+
+    predict = _pin_sharded(
+        jax.jit(_predict), exe_cache_dir, "sharded_nc_predict", mesh, logger
+    )
 
     start_epoch = 1
     if checkpoint_dir:

@@ -121,11 +121,16 @@ def save_executable(
 
 
 def load_executable(
-    cache_dir: str, key: str
+    cache_dir: str, key: str, devices=None
 ) -> Optional[Tuple[Callable, Dict[str, Any]]]:
     """Deserialize a cached executable. Returns ``(callable, meta)`` or
     None. A corrupt/incompatible entry is deleted so the next run doesn't
-    re-trip on it; the caller verifies numerics (meta checksum) itself."""
+    re-trip on it; the caller verifies numerics (meta checksum) itself.
+
+    ``devices`` overrides the execution-device binding (default
+    ``jax.devices()``) — sharded executables must be re-bound to the SAME
+    device order the compiling mesh used (pass ``mesh.devices.flat``), or
+    the loaded program's input shardings map to the wrong chips."""
     path = _path(cache_dir, key)
     if not os.path.exists(path):
         return None
@@ -139,7 +144,7 @@ def load_executable(
         import jax
 
         n_dev = int(d.get("n_dev", 1))
-        devs = jax.devices()
+        devs = list(devices) if devices is not None else jax.devices()
         if n_dev > len(devs):
             raise ValueError(
                 f"executable needs {n_dev} devices, have {len(devs)}"
@@ -185,12 +190,15 @@ class PinnedJit:
 
     def __init__(self, fn, cache_dir: Optional[str], tag: str = "",
                  search: int = 0, search_runner: Optional[Callable] = None,
-                 **jit_kwargs):
+                 devices=None, **jit_kwargs):
         import jax
 
         # jit_kwargs (e.g. donate_argnums) are part of the lowering, so
-        # the serialized executable preserves them (buffer aliasing incl.)
+        # the serialized executable preserves them (buffer aliasing incl.).
+        # ``devices`` binds loaded executables to an explicit device order
+        # (sharded programs: pass the compiling mesh's ``devices.flat``).
         self._jit = jax.jit(fn, **jit_kwargs)
+        self._devices = list(devices) if devices is not None else None
         self._cache_dir = cache_dir
         self._tag = tag
         # Draw search: on a cache miss, compile ``search`` times and pin
@@ -240,7 +248,7 @@ class PinnedJit:
         key = workload_key(
             hlo=hashlib.sha256(hlo.encode()).hexdigest(), tag=self._tag
         )
-        hit = load_executable(self._cache_dir, key)
+        hit = load_executable(self._cache_dir, key, devices=self._devices)
         if hit is not None:
             print(
                 f"exe_cache: pinned executable hit for {self._tag or 'fn'}",

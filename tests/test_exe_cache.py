@@ -246,3 +246,99 @@ def test_lp_trainer_draw_search_donation_safe(tmp_path, capfd):
         assert mrr1 == mrr2
     else:
         assert "no candidate serialized" in err
+
+
+def _mesh8():
+    from rgcn_tpu.dist.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_sharded_nc_driver_exe_pinning(tmp_path, capfd):
+    """train_node_classifier_sharded(exe_cache_dir=...) pins the sharded
+    step + predict executables (re-bound to the mesh's device order at
+    load); a second run is pure cache hits and reproduces the accuracy."""
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.dist.driver import train_node_classifier_sharded
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    mesh = _mesh8()
+    data = synthetic_node_classification(
+        num_nodes=64, num_rels=4, num_edges=320, num_classes=3, seed=5
+    )
+    cfg = load_experiment({
+        "dataset": {"name": "synthetic"},
+        "training": {"epochs": 3,
+                     "optimiser": {"algorithm": "adam",
+                                   "learn_rate": 0.01,
+                                   "weight_decay": 0.0}},
+        "rgcn": {"model": "rgcn", "num_layers": 2, "hidden_size": 8},
+        "evaluation": {"final_run": True},
+    })
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    acc1 = train_node_classifier_sharded(
+        cfg, data, mesh, seed=1, logger=quiet, tile_size=16,
+        backend="xla", exe_cache_dir=d,
+    )
+    entries = sorted(os.listdir(d))
+    assert entries, "no sharded executables pinned"
+    acc2 = train_node_classifier_sharded(
+        cfg, data, mesh, seed=1, logger=quiet, tile_size=16,
+        backend="xla", exe_cache_dir=d,
+    )
+    err = capfd.readouterr().err
+    assert "pinned executable hit for sharded_nc_step" in err
+    assert acc1 == acc2
+    assert sorted(os.listdir(d)) == entries  # pure hits, nothing new
+
+
+def test_sharded_lp_driver_exe_pinning_and_search(tmp_path, capfd):
+    """train_link_predictor_sharded(exe_cache_dir=..., exe_search=2)
+    draw-searches the sharded step on the first miss and reproduces the
+    MRR from the pinned executable on a re-run."""
+    import dataclasses
+    import pickle
+
+    from rgcn_tpu.config import load_experiment
+    from rgcn_tpu.data.synthetic import synthetic_link_prediction
+    from rgcn_tpu.dist.driver import train_link_predictor_sharded
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    mesh = _mesh8()
+    cfg = load_experiment("configs/rgcn/lp-FB-toy.yaml")
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, graph_batch_size=128),
+        evaluation=dataclasses.replace(cfg.evaluation, batch_size=16),
+    )
+    data = synthetic_link_prediction(
+        num_nodes=120, num_rels=5, num_edges=600, seed=0
+    )
+    quiet = ScalarLogger(verbose=False)
+    d = str(tmp_path / "exe")
+    mrr1, _, _, _ = train_link_predictor_sharded(
+        cfg, data, mesh, seed=2, logger=quiet, max_epochs=2, tile_size=16,
+        exe_cache_dir=d, exe_search=2,
+    )
+    err = capfd.readouterr().err
+    assert "sharded_lp_step draw 0" in err
+    # same jax-CPU sort-comparator serialization flakiness as the
+    # single-device LP pin test: pin assertions only when a payload
+    # survived (search + donation-free measurement held either way)
+    if os.path.isdir(d) and os.listdir(d):
+        metas = []
+        for f in os.listdir(d):
+            with open(os.path.join(d, f), "rb") as fh:
+                metas.append(pickle.load(fh)["meta"])
+        assert any(m.get("tag") == "sharded_lp_step" for m in metas)
+        mrr2, _, _, _ = train_link_predictor_sharded(
+            cfg, data, mesh, seed=2, logger=quiet, max_epochs=2,
+            tile_size=16, exe_cache_dir=d,
+        )
+        assert mrr1 == mrr2
+    else:
+        assert "no candidate serialized" in err
