@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--classes", type=int, default=11)
     ap.add_argument("--bases", type=int, default=40)
     ap.add_argument("--hidden", type=int, default=10)
+    ap.add_argument("--reciprocity", type=float, default=0.0,
+                    help="fraction of reciprocal edge pairs in the "
+                         "synthetic graph (AM is non-reciprocal-ish; "
+                         "use to re-evaluate the composed pair "
+                         "aggregation's locality argument)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--only", default=None,
                     help="substring filter (each variant is a separate "
@@ -88,7 +93,8 @@ def main():
     from rgcn_tpu.train.optim import make_optimizer
 
     t0 = time.time()
-    triples = synthetic_kg(args.nodes, args.rels, args.edges, seed=9)
+    triples = synthetic_kg(args.nodes, args.rels, args.edges, seed=9,
+                           reciprocity=args.reciprocity)
     from rgcn_tpu.graph.structure import auto_nc_row_block
 
     es_pairs = build_edge_set(
