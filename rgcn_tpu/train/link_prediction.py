@@ -97,30 +97,46 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _eval_fns(model):
+def _eval_fns(model, exe_cache_dir: Optional[str] = None):
     """Jitted encode/rank-sweep functions, cached per model so repeated
     evaluations during training reuse one compilation (fresh ``jax.jit``
     wrappers per call would recompile every eval — minutes on this
     backend). flax modules are frozen dataclasses, hence hashable.
+
+    ``exe_cache_dir`` additionally pins the compiled programs ACROSS
+    processes (:class:`rgcn_tpu.utils.exe_cache.PinnedJit`): a restarted
+    run (resume, ``make parity``'s 12 processes, a periodic-eval cadence
+    over many restarts) re-traces but no longer re-compiles its eval
+    programs — the same cold-start win serving gets for its encoder.
 
     Each rank sweep is one scanned device program over all evaluation
     batches (see :func:`rgcn_tpu.train.evaluate.scan_ranks`) — a handful of
     dispatches per evaluation instead of thousands."""
     from rgcn_tpu.train.evaluate import scan_ranks
 
-    encode = jax.jit(lambda p, edges: model.apply(p, edges, method=model.encode))
+    def _wrap(fn, tag):
+        if exe_cache_dir:
+            from rgcn_tpu.utils.exe_cache import PinnedJit
 
-    def make_sweep(method):
+            return PinnedJit(fn, exe_cache_dir, tag=tag)
+        return jax.jit(fn)
+
+    encode = _wrap(
+        lambda p, edges: model.apply(p, edges, method=model.encode),
+        "lp_eval_encode",
+    )
+
+    def make_sweep(method, tag):
         def sweep(p, z, batches, filts, tgts, valids):
             return scan_ranks(
                 lambda batch: model.apply(p, batch, z, method=method),
                 batches, filts, tgts, valids,
             )
 
-        return jax.jit(sweep)
+        return _wrap(sweep, tag)
 
-    rank_h = make_sweep(model.score_heads)
-    rank_t = make_sweep(model.score_tails)
+    rank_h = make_sweep(model.score_heads, "lp_eval_rank_h")
+    rank_t = make_sweep(model.score_tails, "lp_eval_rank_t")
     return encode, rank_h, rank_t
 
 
@@ -133,13 +149,17 @@ def evaluate_link_predictor(
     batch_size: int = 512,
     verbose: bool = False,
     logger=None,
+    exe_cache_dir: Optional[str] = None,
 ) -> Tuple[float, Tuple[float, float, float], np.ndarray]:
-    """Filtered/raw MRR and Hits@{1,3,10} over head and tail prediction."""
+    """Filtered/raw MRR and Hits@{1,3,10} over head and tail prediction.
+
+    ``exe_cache_dir`` pins the compiled encode/sweep programs across
+    processes (see :func:`_eval_fns`)."""
     from rgcn_tpu.train.evaluate import batched_eval_arrays
 
     num_test = len(test)
 
-    encode, rank_h, rank_t = _eval_fns(model)
+    encode, rank_h, rank_t = _eval_fns(model, exe_cache_dir)
     z = encode(params, eval_edges)
 
     if filters is not None:
@@ -562,6 +582,7 @@ def train_link_predictor(
                 model, params, eval_edges, test_np, filters,
                 batch_size=cfg.evaluation.batch_size,
                 verbose=cfg.evaluation.verbose, logger=logger,
+                exe_cache_dir=exe_cache_dir,
             )
             logger.log_scalar("training.loss", loss, step=epoch)
             logger.log_scalar("test.mrr", mrr, step=epoch)
@@ -599,6 +620,7 @@ def train_link_predictor(
         model, params, eval_edges, test_np, filters,
         batch_size=cfg.evaluation.batch_size,
         verbose=cfg.evaluation.verbose, logger=logger,
+        exe_cache_dir=exe_cache_dir,
     )
     logger.log_scalar("test.mrr", mrr, step=epochs)
     for k, h in zip((1, 3, 10), hits):

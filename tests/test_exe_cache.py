@@ -143,6 +143,15 @@ def test_lp_trainer_exe_pinning(tmp_path):
 
         pytest.skip("executable did not serialize in this process")
     entries = sorted(os.listdir(d))
+    # the eval programs (encode + two scanned rank sweeps, sort-free)
+    # pin too — a resumed run / make-parity process skips their compiles
+    import pickle as _pickle
+
+    tags = set()
+    for f in entries:
+        with open(os.path.join(d, f), "rb") as fh:
+            tags.add(_pickle.load(fh)["meta"].get("tag"))
+    assert {"lp_eval_encode", "lp_eval_rank_h", "lp_eval_rank_t"} <= tags
     mrr2, _, _, _ = train_link_predictor(
         cfg, data, seed=2, logger=quiet, tile_size=8, exe_cache_dir=d
     )
