@@ -330,6 +330,7 @@ def train_link_predictor_sharded(
     mrr, hits, ranks = evaluate_link_predictor_sharded(
         init_model, params, eval_edges, test_np, filters, mesh,
         batch_size=max(cfg.evaluation.batch_size, 16), axis=edge_axis,
+        exe_cache_dir=exe_cache_dir,
     )
     logger.info(
         f"[Final Scores] MRR: {mrr:.4f} Hits@1: {hits[0]:.4f} "

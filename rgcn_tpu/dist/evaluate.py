@@ -38,7 +38,22 @@ __all__ = ["make_sharded_rank_sweep", "evaluate_link_predictor_sharded"]
 _BIG = 2**30
 
 
-def make_sharded_rank_sweep(model, method, mesh: Mesh, axis: str = EDGE_AXIS):
+def _wrap_pinned(fn, exe_cache_dir: Optional[str], tag: str, mesh: Mesh):
+    """``jax.jit`` with cross-process executable pinning when requested —
+    the eval twin of :func:`rgcn_tpu.dist.driver._pin_sharded` (single
+    PROCESS only: serialized executables re-bind local devices)."""
+    if not exe_cache_dir or getattr(jax, "process_count", lambda: 1)() > 1:
+        return jax.jit(fn)
+    from rgcn_tpu.utils.exe_cache import PinnedJit
+
+    return PinnedJit(
+        fn, exe_cache_dir, tag=tag, devices=list(mesh.devices.flat)
+    )
+
+
+def make_sharded_rank_sweep(model, method, mesh: Mesh, axis: str = EDGE_AXIS,
+                            exe_cache_dir: Optional[str] = None,
+                            tag: str = "sharded_rank_sweep"):
     """Jitted sharded rank sweep for one direction.
 
     ``method`` is ``model.score_heads`` / ``model.score_tails`` — it must
@@ -50,7 +65,6 @@ def make_sharded_rank_sweep(model, method, mesh: Mesh, axis: str = EDGE_AXIS):
     """
     k = mesh.shape[axis]
 
-    @jax.jit
     def sweep(params, z, batches, filts, tgts, valids):
         n = z.shape[0]
         shard_n = -(-n // k)
@@ -109,7 +123,7 @@ def make_sharded_rank_sweep(model, method, mesh: Mesh, axis: str = EDGE_AXIS):
 
         return run(params, z_pad, batches, filts, tgts, valids)
 
-    return sweep
+    return _wrap_pinned(sweep, exe_cache_dir, tag, mesh)
 
 
 def evaluate_link_predictor_sharded(
@@ -121,10 +135,17 @@ def evaluate_link_predictor_sharded(
     mesh: Mesh,
     batch_size: int = 512,
     axis: str = EDGE_AXIS,
+    exe_cache_dir: Optional[str] = None,
 ) -> Tuple[float, Tuple[float, float, float], np.ndarray]:
-    """Sharded filtered/raw MRR and Hits@{1,3,10} (head + tail)."""
+    """Sharded filtered/raw MRR and Hits@{1,3,10} (head + tail).
+
+    ``exe_cache_dir`` pins the compiled encode/sweep programs across
+    processes (single-process meshes; see :func:`_wrap_pinned`)."""
     num_test = len(test)
-    encode = jax.jit(lambda p, e: model.apply(p, e, method=model.encode))
+    encode = _wrap_pinned(
+        lambda p, e: model.apply(p, e, method=model.encode),
+        exe_cache_dir, "sharded_eval_encode", mesh,
+    )
     z = encode(params, eval_edges)
 
     if filters is not None:
@@ -134,11 +155,14 @@ def evaluate_link_predictor_sharded(
         tail_filt = head_filt
 
     ranks = []
-    for method, filt, tgt in (
-        (model.score_heads, head_filt, test[:, 0]),
-        (model.score_tails, tail_filt, test[:, 2]),
+    for method, filt, tgt, tag in (
+        (model.score_heads, head_filt, test[:, 0], "sharded_rank_h"),
+        (model.score_tails, tail_filt, test[:, 2], "sharded_rank_t"),
     ):
-        sweep = make_sharded_rank_sweep(model, method, mesh, axis)
+        sweep = make_sharded_rank_sweep(
+            model, method, mesh, axis,
+            exe_cache_dir=exe_cache_dir, tag=tag,
+        )
         arrays = batched_eval_arrays(test, filt, tgt, batch_size)
         r = np.asarray(
             sweep(params, z, *(jnp.asarray(a) for a in arrays))

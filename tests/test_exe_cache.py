@@ -343,7 +343,12 @@ def test_sharded_lp_driver_exe_pinning_and_search(tmp_path, capfd):
         for f in os.listdir(d):
             with open(os.path.join(d, f), "rb") as fh:
                 metas.append(pickle.load(fh)["meta"])
-        assert any(m.get("tag") == "sharded_lp_step" for m in metas)
+        tags = {m.get("tag") for m in metas}
+        assert "sharded_lp_step" in tags
+        # the sharded eval programs (encode + the two psum rank sweeps,
+        # sort-free) pin alongside the step
+        assert {"sharded_eval_encode", "sharded_rank_h",
+                "sharded_rank_t"} <= tags
         mrr2, _, _, _ = train_link_predictor_sharded(
             cfg, data, mesh, seed=2, logger=quiet, max_epochs=2,
             tile_size=16, exe_cache_dir=d,
