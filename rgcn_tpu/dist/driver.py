@@ -84,7 +84,13 @@ def _sharded_chain_runner(compiled, args):
     ``(params, opt_state, *rest) -> (params, opt_state, loss)``. The
     sharded steps do not donate, so the caller's originals survive;
     fetching the loss scalar is the only reliable sync on the tunneled
-    backend, and differencing two chain lengths cancels its RPC cost."""
+    backend, and differencing two chain lengths cancels its RPC cost.
+
+    The chain length adapts to the one-shot step magnitude (bench.py's
+    methodology): sub-100ms steps sit inside RPC/timer jitter at short
+    chains — the repo's measurement notes record negative dts and 40%
+    under-reads at <30 iterations — so fast steps earn long chains while
+    stress-scale steps keep the chain window bounded (~1.5 s net)."""
     import time as _time
 
     p0, o0 = args[0], args[1]
@@ -102,7 +108,11 @@ def _sharded_chain_runner(compiled, args):
             best = dt if best is None else min(best, dt)
         return best
 
-    iters = 4
+    one = run(1)  # warm-up + one-shot magnitude (incl. fetch RPC)
+    # net chain work targets ~1.5 s, clamped to [4, 64] iterations: a 1 ms
+    # toy/CPU step gets the full 64 (jitter-immune), a 500 ms stress step
+    # keeps 4 (a longer window would absorb congestion bursts instead).
+    iters = int(max(4, min(64, round(1.5 / max(one, 1e-4)))))
     return max((run(1 + iters) - run(1)) / iters, 1e-9)
 
 

@@ -96,8 +96,17 @@ def build_lp_model(cfg: LinkPredictionExperiment, num_nodes: int,
     raise NotImplementedError(f"{enc.model!r} encoder has not been implemented")
 
 
-@functools.lru_cache(maxsize=8)
 def _eval_fns(model, exe_cache_dir: Optional[str] = None):
+    """Canonicalizing front for :func:`_eval_fns_cached`: callers use both
+    ``_eval_fns(model)`` and ``_eval_fns(model, None)``, which lru_cache
+    would key separately and so compile the identical eval programs twice
+    (minutes each on this backend). Normalize the arity here so every call
+    style shares one cache entry."""
+    return _eval_fns_cached(model, exe_cache_dir or None)
+
+
+@functools.lru_cache(maxsize=8)
+def _eval_fns_cached(model, exe_cache_dir: Optional[str]):
     """Jitted encode/rank-sweep functions, cached per model so repeated
     evaluations during training reuse one compilation (fresh ``jax.jit``
     wrappers per call would recompile every eval — minutes on this

@@ -265,10 +265,30 @@ def _mesh8():
     return make_mesh(8)
 
 
+def _pinned_tags(d):
+    """tag → meta for every entry the cache dir holds (empty if none)."""
+    import pickle
+
+    out = {}
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            with open(os.path.join(d, f), "rb") as fh:
+                m = pickle.load(fh)["meta"]
+            out[m.get("tag")] = m
+    return out
+
+
 def test_sharded_nc_driver_exe_pinning(tmp_path, capfd):
     """train_node_classifier_sharded(exe_cache_dir=...) pins the sharded
     step + predict executables (re-bound to the mesh's device order at
-    load); a second run is pure cache hits and reproduces the accuracy."""
+    load); a second run is pure cache hits and reproduces the accuracy.
+
+    Like the LP pin tests, tolerate the documented jax-CPU quirk: once any
+    sort-containing program has EXECUTED in the process, serialization of
+    such executables fails flakily (``UNIMPLEMENTED: `LessThan` is not
+    serializable``) — suite order determines which programs ran first, so
+    each pin assertion is conditional on its own payload surviving, and a
+    missing payload must instead have left the 'serialize failed' notice."""
     from rgcn_tpu.config import load_experiment
     from rgcn_tpu.data.synthetic import synthetic_node_classification
     from rgcn_tpu.dist.driver import train_node_classifier_sharded
@@ -293,16 +313,25 @@ def test_sharded_nc_driver_exe_pinning(tmp_path, capfd):
         cfg, data, mesh, seed=1, logger=quiet, tile_size=16,
         backend="xla", exe_cache_dir=d,
     )
+    err1 = capfd.readouterr().err
+    tags = _pinned_tags(d)
+    if not tags:
+        assert "serialize failed" in err1
+        pytest.skip("no sharded executable serialized in this process")
     entries = sorted(os.listdir(d))
-    assert entries, "no sharded executables pinned"
     acc2 = train_node_classifier_sharded(
         cfg, data, mesh, seed=1, logger=quiet, tile_size=16,
         backend="xla", exe_cache_dir=d,
     )
     err = capfd.readouterr().err
-    assert "pinned executable hit for sharded_nc_step" in err
+    if "sharded_nc_step" in tags:
+        assert "pinned executable hit for sharded_nc_step" in err
+    else:
+        assert "serialize failed" in err1
     assert acc1 == acc2
-    assert sorted(os.listdir(d)) == entries  # pure hits, nothing new
+    # pure hits for whatever pinned; re-save attempts of the refused
+    # programs may add entries only if serialization recovered
+    assert set(entries) <= set(sorted(os.listdir(d)))
 
 
 def test_sharded_lp_driver_exe_pinning_and_search(tmp_path, capfd):
@@ -310,7 +339,6 @@ def test_sharded_lp_driver_exe_pinning_and_search(tmp_path, capfd):
     draw-searches the sharded step on the first miss and reproduces the
     MRR from the pinned executable on a re-run."""
     import dataclasses
-    import pickle
 
     from rgcn_tpu.config import load_experiment
     from rgcn_tpu.data.synthetic import synthetic_link_prediction
@@ -335,24 +363,29 @@ def test_sharded_lp_driver_exe_pinning_and_search(tmp_path, capfd):
     )
     err = capfd.readouterr().err
     assert "sharded_lp_step draw 0" in err
-    # same jax-CPU sort-comparator serialization flakiness as the
-    # single-device LP pin test: pin assertions only when a payload
-    # survived (search + donation-free measurement held either way)
-    if os.path.isdir(d) and os.listdir(d):
-        metas = []
-        for f in os.listdir(d):
-            with open(os.path.join(d, f), "rb") as fh:
-                metas.append(pickle.load(fh)["meta"])
-        tags = {m.get("tag") for m in metas}
-        assert "sharded_lp_step" in tags
-        # the sharded eval programs (encode + the two psum rank sweeps,
-        # sort-free) pin alongside the step
-        assert {"sharded_eval_encode", "sharded_rank_h",
-                "sharded_rank_t"} <= tags
+    # jax-CPU sort-comparator serialization flakiness (see the LP pin test
+    # above): under full-suite order, earlier tests execute sorted
+    # programs and EACH program here then serializes-or-refuses
+    # independently — the sorted step can refuse while the sort-free eval
+    # programs pin (observed: dir non-empty without the step tag). Assert
+    # per-tag: every expected program either pinned or left its refusal
+    # notice; reproduction asserts apply to whatever actually pinned.
+    tags = _pinned_tags(d)
+    if "sharded_lp_step" not in tags:
+        assert "no candidate serialized" in err or "serialize failed" in err
+    else:
+        assert tags["sharded_lp_step"]["ms"] > 0
+    eval_tags = {"sharded_eval_encode", "sharded_rank_h", "sharded_rank_t"}
+    if not eval_tags <= set(tags):
+        assert "serialize failed" in err
+    if tags:
+        # a re-run loads whatever pinned (recompiling the rest) and must
+        # reproduce the metric bit-for-bit
         mrr2, _, _, _ = train_link_predictor_sharded(
             cfg, data, mesh, seed=2, logger=quiet, max_epochs=2,
             tile_size=16, exe_cache_dir=d,
         )
+        err2 = capfd.readouterr().err
+        for t in set(tags) & (eval_tags | {"sharded_lp_step"}):
+            assert f"pinned executable hit for {t}" in err2
         assert mrr1 == mrr2
-    else:
-        assert "no candidate serialized" in err
