@@ -602,6 +602,19 @@ def main():
 
         _enable_cache()
 
+    # Tunnel-health canary: one pinned known-floor executable re-measured
+    # before the search (rgcn_tpu/utils/canary.py). The official JSON
+    # carries its ms/ratio so a low headline on a congested day is
+    # attributable from the artifact alone.
+    canary = None
+    if not args.cpu and not args.quick:
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            from rgcn_tpu.utils.canary import measure_canary
+
+            canary = measure_canary(tag="bench")
+
     triples, num_nodes, num_rels, dim = build_workload(
         args.quick, reciprocity=args.reciprocity
     )
@@ -717,6 +730,9 @@ def main():
         # achieved bandwidth of the bound (the per-slot source-row
         # gather) — the auditable form of the headline; see BASELINE.md
         out["achieved_gbps"] = round(gather_bytes * eps / edges_aug / 1e9, 1)
+    if canary is not None and canary.get("ms") is not None:
+        out["canary_ms"] = canary["ms"]
+        out["canary_ratio"] = canary["ratio"]
     print(json.dumps(out))
 
 

@@ -14,7 +14,15 @@ epoch pipeline, hosted Pallas-layout sharded steps, and the sharded
 filtered evaluation — for several epochs across both processes, asserting
 every process reports identical losses and final MRR.
 
-Usage:  python benchmarks/multiprocess_dryrun.py [--full]   # parent
+``--pin`` proves PER-PROCESS executable pinning for multi-host runs: the
+full driver runs TWICE with a shared ``exe_cache_dir`` — the first job
+compiles and each process serializes its own executables (keyed by HLO +
+process index + local device assignment, re-bound by global device id at
+load); the second job must warm-start (``pinned executable hit`` for the
+sharded step in every process) and reproduce the first job's losses and
+MRR bit-for-bit.
+
+Usage:  python benchmarks/multiprocess_dryrun.py [--full | --pin]  # parent
         (workers are spawned automatically)
 """
 
@@ -46,7 +54,9 @@ def worker(pid: int, full: bool = False) -> None:
     assert len(jax.devices()) == NPROC * DEV_PER_PROC
 
     if full:
-        return full_driver_worker(pid)
+        return full_driver_worker(
+            pid, pin_dir=os.environ.get("MP_DRYRUN_PIN_DIR") or None
+        )
 
     import numpy as np
     import jax.numpy as jnp
@@ -103,10 +113,12 @@ def worker(pid: int, full: bool = False) -> None:
     print(f"[proc {pid}] sharded multi-process step OK, loss={loss:.6f}", flush=True)
 
 
-def full_driver_worker(pid: int) -> None:
+def full_driver_worker(pid: int, pin_dir: str | None = None) -> None:
     """The COMPLETE multi-host training driver on a 2-process 2-D mesh:
     every process runs the identical program (same seeds), the replica axis
-    spans the processes, and losses/eval metrics come back replicated."""
+    spans the processes, and losses/eval metrics come back replicated.
+    ``pin_dir`` additionally pins every process's executables (the --pin
+    warm-start proof)."""
     import dataclasses
 
     import numpy as np
@@ -143,6 +155,7 @@ def full_driver_worker(pid: int) -> None:
     logger = Collect()
     mrr, hits, ranks, params = train_link_predictor_sharded(
         cfg, data, mesh, logger=logger, max_epochs=3, tile_size=16,
+        exe_cache_dir=pin_dir,
     )
     assert np.isfinite(mrr) and len(ranks) == 2 * len(data.test)
     losses = ",".join(f"{l:.6f}" for l in logger.losses)
@@ -153,12 +166,7 @@ def full_driver_worker(pid: int) -> None:
     )
 
 
-def main() -> int:
-    full = "--full" in sys.argv
-    if "--worker" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--worker") + 1]), full=full)
-        return 0
-
+def _run_job(full: bool) -> tuple[int, list[str]]:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)]
@@ -182,26 +190,86 @@ def main() -> int:
         outs.append(out)
         if p.returncode != 0:
             code = 1
-    marker = (
-        "full multi-process driver OK" if full
-        else "sharded multi-process step OK"
-    )
-    losses = []
-    for i, out in enumerate(outs):
+    return code, outs
+
+
+def _marker_lines(outs, marker):
+    found = []
+    for out in outs:
         for line in out.splitlines():
             if marker in line:
                 # everything after the marker (losses=... / loss=...) must
                 # agree bit-for-bit across processes
-                losses.append(line.split(marker)[1])
+                found.append(line.split(marker)[1])
                 print(line)
-    if code == 0 and len(losses) == NPROC and len(set(losses)) == 1:
-        print(f"multiprocess_dryrun: {NPROC} processes agreed:{losses[0]}")
-        return 0
+    return found
+
+
+def _fail(outs) -> int:
     print("multiprocess_dryrun FAILED")
     for i, out in enumerate(outs):
         print(f"--- worker {i} output ---")
         print(out[-3000:])
     return 1
+
+
+def main() -> int:
+    full = "--full" in sys.argv
+    pin = "--pin" in sys.argv
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]),
+               full=full or pin)
+        return 0
+
+    if pin:
+        # per-process executable pinning proof: two cold+warm jobs over a
+        # shared cache dir; the warm job must hit the pinned sharded step
+        # in EVERY process and reproduce the cold job's metrics exactly
+        import tempfile
+
+        marker = "full multi-process driver OK"
+        with tempfile.TemporaryDirectory() as d:
+            os.environ["MP_DRYRUN_PIN_DIR"] = d
+            results = []
+            for phase in ("cold", "warm"):
+                code, outs = _run_job(full=True)
+                lines = _marker_lines(outs, marker)
+                if code != 0 or len(lines) != NPROC or len(set(lines)) != 1:
+                    return _fail(outs)
+                results.append(lines[0])
+                hits = sum(
+                    "pinned executable hit for sharded_lp_step" in out
+                    for out in outs
+                )
+                pins = len(os.listdir(d))
+                print(f"[{phase}] step-pin hits {hits}/{NPROC} processes, "
+                      f"{pins} cache entries")
+                if phase == "cold" and pins == 0:
+                    print("multiprocess_dryrun --pin: nothing serialized")
+                    return _fail(outs)
+                if phase == "warm" and hits != NPROC:
+                    print("multiprocess_dryrun --pin: warm job did not hit "
+                          "the pinned step in every process")
+                    return _fail(outs)
+            if results[0] != results[1]:
+                print("multiprocess_dryrun --pin: warm metrics diverge "
+                      f"from cold: {results[0]} vs {results[1]}")
+                return 1
+            print(f"multiprocess_dryrun --pin: warm-start reproduced the "
+                  f"cold job bit-for-bit across {NPROC} processes:"
+                  f"{results[0]}")
+            return 0
+
+    code, outs = _run_job(full)
+    marker = (
+        "full multi-process driver OK" if full
+        else "sharded multi-process step OK"
+    )
+    losses = _marker_lines(outs, marker)
+    if code == 0 and len(losses) == NPROC and len(set(losses)) == 1:
+        print(f"multiprocess_dryrun: {NPROC} processes agreed:{losses[0]}")
+        return 0
+    return _fail(outs)
 
 
 if __name__ == "__main__":

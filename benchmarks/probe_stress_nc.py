@@ -70,6 +70,11 @@ def main():
                          "(draw-search; each is a multi-minute remote "
                          "compile at AM scale)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-canary", action="store_true",
+                    help="skip the tunnel-health canary bracketing "
+                         "(rgcn_tpu/utils/canary.py) — every campaign is "
+                         "bracketed by a pinned known-floor executable so "
+                         "'believed-quiet tunnel' is a number, not a guess")
     args = ap.parse_args()
 
     if args.cpu:
@@ -80,6 +85,12 @@ def main():
         from rgcn_tpu.utils.compile_cache import enable
 
         enable()
+
+    canary = {}
+    if not args.cpu and not args.no_canary:
+        from rgcn_tpu.utils.canary import measure_canary
+
+        canary["before"] = measure_canary(tag="before")
 
     import dataclasses
 
@@ -224,6 +235,26 @@ def main():
     def expr_l1full_l2(params, es):
         return expr_l1full(params, es) + 5e-4 * model.layer1_l2(params)
 
+    def expr_fanagg(params, es):
+        # The fan-out + aggregation piece alone: dummy pair messages (a
+        # barriered broadcast — negligible to produce) fanned out through
+        # the (E,)-row gather, val-scaled, and reduced by the production
+        # Pallas sorted aggregation. Complements xp_gc: l1 ≈ tbuild + gc
+        # + fanagg + self-loop dense term.
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
+        from rgcn_tpu.ops.spmm import _pair_fan_aggregate
+
+        pi = es.pairs
+        u_pad = pi.pair_src.shape[0]
+        vec = params["params"]["rgc1"]["bases"][:, 0, :].sum(axis=0)
+        m = jax.lax.optimization_barrier(
+            jnp.broadcast_to(vec, (u_pad, args.hidden))
+        )
+        out = _pair_fan_aggregate(
+            m, es, lambda msgs, e: aggregate_messages_ad(msgs, e)
+        )
+        return jnp.sum(out)
+
     def expr_gc_mul(params, es):
         # explicit multiply+reduce instead of einsum: if XLA lowers the
         # contraction as U batched (1,nb)@(nb,dout) GEMMs it pads each to
@@ -334,6 +365,8 @@ def main():
                       False),
         "xp_gc": (lambda: make_expr_step(expr_gather_contract), es_pairs,
                   tx, False),
+        "xp_fanagg": (lambda: make_expr_step(expr_fanagg), es_noagg, tx,
+                      False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_pairs, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_pairs, tx,
@@ -491,13 +524,29 @@ def main():
     # tunnel — l1_fwd alone once measured 694 ms against a 595 ms full
     # step; prefer the in-step ablation variants above).
     # ------------------------------------------------------------------
+    def _finish():
+        if canary:
+            from rgcn_tpu.utils.canary import measure_canary
+
+            canary["after"] = measure_canary(tag="after")
+            if not (canary["before"].get("healthy")
+                    and canary["after"].get("healthy")):
+                print(
+                    "probe_stress_nc: WARNING — canary above its floor "
+                    "gate on at least one side of the campaign; treat "
+                    "these numbers as congestion-suspect (re-run on a "
+                    "quiet tunnel before recording them)",
+                    file=sys.stderr, flush=True,
+                )
+        return {"canary": canary} if canary else {}
+
     if not args.parts:
         print(json.dumps({
             "what": "probe_stress_nc", "nodes": args.nodes,
             "rels": args.rels, "edges": int(es_pairs.num_edges),
             "pairs": int(es_pairs.pairs.num_pairs),
             "bases": args.bases, "hidden": args.hidden,
-            "ms_per_step": results,
+            "ms_per_step": results, **_finish(),
         }), flush=True)
         return
     from rgcn_tpu.nn.layers import RGCNConv
@@ -564,7 +613,7 @@ def main():
         "edges": int(es_pairs.num_edges),
         "pairs": int(es_pairs.pairs.num_pairs),
         "bases": args.bases, "hidden": args.hidden,
-        "ms_per_step": results,
+        "ms_per_step": results, **_finish(),
     }), flush=True)
 
 

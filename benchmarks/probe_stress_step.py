@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=4,
                     help="interleaved A/B rounds")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-canary", action="store_true",
+                    help="skip the tunnel-health canary bracketing "
+                         "(rgcn_tpu/utils/canary.py)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -61,6 +64,12 @@ def main():
         from rgcn_tpu.utils.compile_cache import enable
 
         enable()
+
+    canary = {}
+    if not args.cpu and not args.no_canary:
+        from rgcn_tpu.utils.canary import measure_canary
+
+        canary["before"] = measure_canary(tag="before")
 
     import dataclasses
     import functools
@@ -231,9 +240,23 @@ def main():
             results[name] = round(dt * 1e3, 1)
             print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 
+    if canary:
+        from rgcn_tpu.utils.canary import measure_canary
+
+        canary["after"] = measure_canary(tag="after")
+        if not (canary["before"].get("healthy")
+                and canary["after"].get("healthy")):
+            print(
+                "probe_stress_step: WARNING — canary above its floor gate "
+                "on at least one side of the campaign; numbers are "
+                "congestion-suspect",
+                file=sys.stderr, flush=True,
+            )
     print(json.dumps({"what": "probe_stress_step", "nodes": n,
                       "batch": bsz, "ns": ns, "dim": d, "row_block": rb,
-                      "ms_per_step": results}), flush=True)
+                      "ms_per_step": results,
+                      **({"canary": canary} if canary else {})}),
+          flush=True)
 
 
 if __name__ == "__main__":

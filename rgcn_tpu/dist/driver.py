@@ -52,23 +52,21 @@ def _pin_sharded(
     search: int = 0, search_runner=None,
 ):
     """Wrap an (already jitted) sharded step in
-    :class:`rgcn_tpu.utils.exe_cache.PinnedJit` when pinning is requested
-    and possible — the sharded twin of the single-device trainers'
-    ``exe_cache_dir`` support (compile draws of identical HLO spread ~2x
-    long-chain truth at AM scale; see docs/PERF.md law 4).
+    :class:`rgcn_tpu.utils.exe_cache.PinnedJit` when pinning is requested —
+    the sharded twin of the single-device trainers' ``exe_cache_dir``
+    support (compile draws of identical HLO spread ~2x long-chain truth at
+    AM scale; see docs/PERF.md law 4).
 
-    Pinning is single-PROCESS only: a serialized executable re-binds to
-    local devices at load, which cannot reproduce a multi-host device
-    assignment (and concurrent processes would race the cache writes).
-    Multi-device single-process meshes pin fine — the loaded executable is
-    re-bound to the compiling mesh's own device order (``devices=``)."""
+    Single-process meshes re-bind the loaded executable to the compiling
+    mesh's own device order (``devices=``). Multi-PROCESS (multi-host)
+    jobs pin per process: each process serializes/loads its own entry
+    keyed by (HLO, tag, process index, local device assignment) and the
+    executable re-binds by global device id (see exe_cache.PinnedJit /
+    serialize_compiled; warm-start proven by
+    ``benchmarks/multiprocess_dryrun.py --pin``). Draw search stays
+    single-process (exe_cache disables it with a notice under
+    multi-process — collective lockstep)."""
     if not exe_cache_dir:
-        return fn
-    if getattr(jax, "process_count", lambda: 1)() > 1:
-        logger.info(
-            f"exe_cache: pinning is single-process only; "
-            f"exe_cache_dir ignored for {tag}"
-        )
         return fn
     from rgcn_tpu.utils.exe_cache import PinnedJit
 

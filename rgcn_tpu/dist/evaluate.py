@@ -40,21 +40,10 @@ _BIG = 2**30
 
 def _wrap_pinned(fn, exe_cache_dir: Optional[str], tag: str, mesh: Mesh):
     """``jax.jit`` with cross-process executable pinning when requested —
-    the eval twin of :func:`rgcn_tpu.dist.driver._pin_sharded` (single
-    PROCESS only: serialized executables re-bind local devices)."""
+    the eval twin of :func:`rgcn_tpu.dist.driver._pin_sharded`.
+    Multi-process jobs pin per process (keyed by process index, bound by
+    global device id — see exe_cache)."""
     if not exe_cache_dir:
-        return jax.jit(fn)
-    if getattr(jax, "process_count", lambda: 1)() > 1:
-        # same one-line signal the driver's _pin_sharded emits — a
-        # multi-host user passing exe_cache_dir must see that eval pinning
-        # was dropped, not silently pay the recompile
-        import sys
-
-        print(
-            f"exe_cache: pinning is single-process only; "
-            f"exe_cache_dir ignored for {tag}",
-            file=sys.stderr,
-        )
         return jax.jit(fn)
     from rgcn_tpu.utils.exe_cache import PinnedJit
 

@@ -66,6 +66,7 @@ def serialize_compiled(compiled) -> Optional[Dict[str, Any]]:
     payload before timing it).
     """
     try:
+        import jax
         from jax.experimental.serialize_executable import serialize
 
         payload, in_tree, out_tree = serialize(compiled)
@@ -77,12 +78,25 @@ def serialize_compiled(compiled) -> Optional[Dict[str, Any]]:
             n_dev = len(compiled.runtime_executable().local_devices())
         except Exception:  # noqa: BLE001
             n_dev = 1
-        return {
+        rec: Dict[str, Any] = {
             "payload": payload,
             "in_tree": in_tree,
             "out_tree": out_tree,
             "n_dev": n_dev,
         }
+        # Multi-PROCESS executables (a multi-host device assignment) must
+        # re-bind devices by GLOBAL ID at load — positional local-prefix
+        # binding cannot represent the assignment. The serializer records
+        # devices by id, so a load that passes the full global device list
+        # reconstructs the exact assignment (proven: two-process CPU mesh,
+        # warm-started both processes, bit-identical output). Each process
+        # saves/loads its OWN record (the PinnedJit key carries the
+        # process index), so there are no cross-process cache races.
+        if getattr(jax, "process_count", lambda: 1)() > 1:
+            rec["bind"] = "global"
+            rec["proc_count"] = jax.process_count()
+            rec["proc_index"] = jax.process_index()
+        return rec
     except Exception as e:  # noqa: BLE001 — report and move on
         print(f"exe_cache: serialize failed ({type(e).__name__}: {e})",
               file=sys.stderr)
@@ -130,7 +144,12 @@ def load_executable(
     ``devices`` overrides the execution-device binding (default
     ``jax.devices()``) — sharded executables must be re-bound to the SAME
     device order the compiling mesh used (pass ``mesh.devices.flat``), or
-    the loaded program's input shardings map to the wrong chips."""
+    the loaded program's input shardings map to the wrong chips.
+
+    Records saved under a multi-process job (``bind == 'global'``) are
+    re-bound by global device ID over the full ``jax.devices()`` list
+    instead of a local positional prefix — the process count must match
+    the saving job's."""
     path = _path(cache_dir, key)
     if not os.path.exists(path):
         return None
@@ -143,6 +162,22 @@ def load_executable(
 
         import jax
 
+        if d.get("bind") == "global":
+            pc = getattr(jax, "process_count", lambda: 1)()
+            if pc != int(d.get("proc_count", 1)):
+                raise ValueError(
+                    f"multi-process executable saved under "
+                    f"{d.get('proc_count')} processes, have {pc}"
+                )
+            # full global list: the unpickler maps the executable's
+            # device assignment by id, so order is immaterial and extra
+            # entries are harmless
+            devs = list(devices) if devices is not None else jax.devices()
+            loaded = deserialize_and_load(
+                d["payload"], d["in_tree"], d["out_tree"],
+                execution_devices=devs,
+            )
+            return loaded, d.get("meta", {})
         n_dev = int(d.get("n_dev", 1))
         devs = list(devices) if devices is not None else jax.devices()
         if n_dev > len(devs):
@@ -240,14 +275,30 @@ class PinnedJit:
         return fn(*args)
 
     def _compile_or_load(self, args):
+        import jax
+
         lowered = self._jit.lower(*args)
         try:
             hlo = lowered.as_text()
         except Exception:  # noqa: BLE001 — lowering text unavailable
             return self._jit
-        key = workload_key(
+        key_fields = dict(
             hlo=hashlib.sha256(hlo.encode()).hexdigest(), tag=self._tag
         )
+        multiproc = getattr(jax, "process_count", lambda: 1)() > 1
+        if multiproc:
+            # per-PROCESS entries: a multi-host executable re-binds by
+            # global device id, and each process must load the executable
+            # serialized under its own process index / local assignment
+            # (also: distinct keys mean no cross-process write races on a
+            # shared cache dir)
+            key_fields["proc"] = (
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+            key_fields["local_ids"] = tuple(
+                d.id for d in jax.local_devices()
+            )
+        key = workload_key(**key_fields)
         hit = load_executable(self._cache_dir, key, devices=self._devices)
         if hit is not None:
             print(
@@ -255,7 +306,19 @@ class PinnedJit:
                 file=sys.stderr,
             )
             return hit[0]
-        if self._search > 1:
+        if multiproc and self._search > 1:
+            # draw search is single-process only: the search runner's
+            # adaptive chain lengths depend on locally measured times, so
+            # processes would diverge mid-collective (the step programs
+            # are collective — every process must call them in lockstep).
+            # Pin the single compile instead.
+            print(
+                f"exe_cache: {self._tag or 'fn'}: draw search disabled "
+                "under multi-process (collective lockstep); pinning the "
+                "single compile",
+                file=sys.stderr,
+            )
+        elif self._search > 1:
             best = best_ms = None  # fastest overall (returned)
             pin = pin_ms = None  # fastest WITH a payload (persisted)
             for i in range(self._search):

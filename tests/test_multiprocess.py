@@ -34,3 +34,18 @@ def test_two_process_driver(mode):
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert "processes agreed" in out.stdout
+
+
+def test_two_process_per_process_pinning():
+    """Multi-host executable pinning: a second two-process job warm-starts
+    from per-process pinned executables (keyed by HLO + process index,
+    re-bound by global device id) and reproduces losses/MRR bit-for-bit."""
+    env = dict(os.environ)
+    env["MP_DRYRUN_PORT"] = "7745"
+    out = subprocess.run(
+        [sys.executable, _SCRIPT, "--pin"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert "warm-start reproduced the cold job bit-for-bit" in out.stdout
