@@ -130,14 +130,58 @@ def main():
     _ = np.asarray(z[:1])  # force a real fetch round trip on remote backends
     encode_s = time.time() - t0
 
+    # DEVICE truth for the encode: the wall above includes the dispatch +
+    # fetch RPC (~tens of ms each on the tunneled backend) and absorbs
+    # congestion bursts; a chained estimate isolates what the chip
+    # actually spends on the full-graph forward (the encoder rides the
+    # same merged bf16 layouts as training — pallas_basis.py:431)
+    def _perturb(p, s):
+        leaves, treedef = jax.tree.flatten(p)
+        i = min(range(len(leaves)), key=lambda j: leaves[j].size)
+        leaves[i] = leaves[i] + s.astype(leaves[i].dtype) * 1e-12
+        return jax.tree.unflatten(treedef, leaves)
+
+    @jax.jit
+    def encode_step(p, edges):
+        zz = model.apply(p, edges, method=model.encode)
+        s = jnp.sum(zz[0]) * jnp.asarray(1e-9, zz.dtype)
+        return _perturb(p, s), s
+
+    def _chain(k):
+        p = params
+        ts = []
+        for _ in range(3):
+            p = params
+            t0 = time.perf_counter()
+            for _ in range(k):
+                p, s = encode_step(p, eval_edges)
+            float(s)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    p, s = encode_step(params, eval_edges)  # compile
+    float(s)
+    iters = 30
+    encode_chain_ms = max(
+        (_chain(1 + iters) - _chain(1)) / iters * 1e3, 0.0
+    )
+
     sweeps = {}
+    assembly = {}
+    transfer = {}
     for tag, sweep, filt, tgt in (
         ("head", rank_h, filters.heads, test_np[:, 0]),
         ("tail", rank_t, filters.tails, test_np[:, 2]),
     ):
-        arrays = batched_eval_arrays(test_np, filt, tgt, args.batch_size)
         t0 = time.time()
-        r = sweep(params, z, *(jnp.asarray(a) for a in arrays))
+        arrays = batched_eval_arrays(test_np, filt, tgt, args.batch_size)
+        assembly[tag] = time.time() - t0
+        t0 = time.time()
+        dev = [jnp.asarray(a) for a in arrays]
+        jax.block_until_ready(dev)
+        transfer[tag] = time.time() - t0
+        t0 = time.time()
+        r = sweep(params, z, *dev)
         np.asarray(r)
         sweeps[tag] = time.time() - t0
 
@@ -145,8 +189,13 @@ def main():
         "eval_wall_s": round(float(np.median(walls)), 3),
         "eval_wall_min_s": round(min(walls), 3),
         "encode_s": round(encode_s, 3),
+        "encode_chain_ms": round(encode_chain_ms, 2),
         "head_sweep_s": round(sweeps["head"], 3),
         "tail_sweep_s": round(sweeps["tail"], 3),
+        "head_assembly_s": round(assembly["head"], 3),
+        "tail_assembly_s": round(assembly["tail"], 3),
+        "head_transfer_s": round(transfer["head"], 3),
+        "tail_transfer_s": round(transfer["tail"], 3),
         "filters_build_s": round(filters_s, 3),
         "eval_layout_build_s": round(layout_s, 3),
         "num_test": int(len(test_np)),
