@@ -235,6 +235,25 @@ def main():
     def expr_l1full_l2(params, es):
         return expr_l1full(params, es) + 5e-4 * model.layer1_l2(params)
 
+    def expr_l2full(params, es):
+        # layer 2 alone (featureful pairs path: H = X @ bases precompute,
+        # wide (nb*dout2) pair gather, contract, fan-out + aggregation) on
+        # a dummy barriered input of layer-1's output shape
+        from rgcn_tpu.nn.layers import RGCNConv as _Conv
+
+        conv2 = _Conv(
+            num_nodes=args.nodes, num_relations=2 * args.rels + 1,
+            in_features=args.hidden, out_features=args.classes,
+            decomposition="basis", num_bases=args.bases,
+        )
+        vec = params["params"]["rgc2"]["bases"][0, :, 0]  # (din,) cheap
+        x = jax.lax.optimization_barrier(
+            jnp.broadcast_to(vec, (args.nodes, args.hidden))
+        )
+        return jnp.sum(
+            conv2.apply({"params": params["params"]["rgc2"]}, es, x)
+        )
+
     def expr_fanagg(params, es):
         # The fan-out + aggregation piece alone: dummy pair messages (a
         # barriered broadcast — negligible to produce) fanned out through
@@ -358,23 +377,32 @@ def main():
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
         "srcsort": (lambda: make_step(), es_srcsort, tx, False),
         "fwd_srcsort": (make_fwd_step, es_srcsort, tx, False),
-        # forward pieces (chained; compose to fwd_nol2 + l2pen ≈ fwd)
-        "xp_l2pen": (lambda: make_expr_step(expr_l2pen), es_pairs, tx,
+        # forward pieces (chained; compose to fwd_nol2 + l2pen ≈ fwd).
+        # ALL pieces ride es_noagg — the PRODUCTION EdgeSet. Round 8's
+        # "physically impossible" xp_l1 (a piece interleaving ABOVE its
+        # own full forward) was exactly this mismatch: the xp_* variants
+        # rode es_pairs, whose pairs.agg routes the layer through the
+        # COMPOSED pair aggregation (measured 2.3x slower forward, round
+        # 7) while fwd rode es_noagg. A piece probe must run the same
+        # code path as the step it attributes.
+        "xp_l2pen": (lambda: make_expr_step(expr_l2pen), es_noagg, tx,
                      False),
-        "xp_tbuild": (lambda: make_expr_step(expr_tbuild), es_pairs, tx,
+        "xp_tbuild": (lambda: make_expr_step(expr_tbuild), es_noagg, tx,
                       False),
-        "xp_gc": (lambda: make_expr_step(expr_gather_contract), es_pairs,
+        "xp_gc": (lambda: make_expr_step(expr_gather_contract), es_noagg,
                   tx, False),
         "xp_fanagg": (lambda: make_expr_step(expr_fanagg), es_noagg, tx,
                       False),
-        "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_pairs, tx,
+        "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
-        "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_pairs, tx,
+        "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,
                      False),
-        "xp_l1": (lambda: make_expr_step(expr_l1full), es_pairs, tx,
+        "xp_l1": (lambda: make_expr_step(expr_l1full), es_noagg, tx,
                   False),
-        "xp_l1l2": (lambda: make_expr_step(expr_l1full_l2), es_pairs, tx,
+        "xp_l1l2": (lambda: make_expr_step(expr_l1full_l2), es_noagg, tx,
                     False),
+        "xp_l2": (lambda: make_expr_step(expr_l2full), es_noagg, tx,
+                  False),
     }
     def chain_interleaved(named_steps, iters, rounds=4, draws=1):
         """Interleaved A/B: compile every variant, then alternate
