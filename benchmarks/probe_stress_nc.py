@@ -69,6 +69,11 @@ def main():
                     help="compile draws per variant before interleaving "
                          "(draw-search; each is a multi-minute remote "
                          "compile at AM scale)")
+    ap.add_argument("--agg-geom", default=None,
+                    help="comma list of rb:ch aggregation-layout "
+                         "geometries; adds xp_agg_rb{rb}ch{ch} (and "
+                         "fwd_rb{rb}ch{ch}) variants riding an EdgeSet "
+                         "whose dst layout uses that geometry")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-canary", action="store_true",
                     help="skip the tunnel-health canary bracketing "
@@ -254,6 +259,38 @@ def main():
             conv2.apply({"params": params["params"]["rgc2"]}, es, x)
         )
 
+    def _dummy_m(params, rows):
+        vec = params["params"]["rgc1"]["bases"][:, 0, :].sum(axis=0)
+        return jax.lax.optimization_barrier(
+            jnp.broadcast_to(vec, (rows, args.hidden))
+        )
+
+    def expr_fan(params, es):
+        # fan-out gather + val scale alone ((E,) rows from the (U, dout)
+        # pair-message table; the read-back sum adds one (E, dout) pass)
+        pi = es.pairs
+        m = _dummy_m(params, pi.pair_src.shape[0])
+        msgs = m[pi.edge_pair] * es.val[:, None]
+        return jnp.sum(msgs)
+
+    def expr_agg(params, es):
+        # Pallas sorted aggregation alone on dummy (E, dout) messages
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
+
+        msgs = _dummy_m(params, es.dst.shape[0])
+        return jnp.sum(aggregate_messages_ad(msgs, es))
+
+    def expr_aggk(params, es):
+        # Pallas aggregation KERNEL alone: dummy PRESORTED (L, dout)
+        # messages — no perm gather. xp_agg - xp_aggk = the perm gather's
+        # cost; xp_aggk is the grid geometry's own cost.
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+        lay = es.layout
+        msgs = _dummy_m(params, lay.perm.shape[0])
+        out = aggregate_presorted_pallas(msgs, lay, es.num_nodes)
+        return jnp.sum(out)
+
     def expr_fanagg(params, es):
         # The fan-out + aggregation piece alone: dummy pair messages (a
         # barriered broadcast — negligible to produce) fanned out through
@@ -393,6 +430,10 @@ def main():
                   tx, False),
         "xp_fanagg": (lambda: make_expr_step(expr_fanagg), es_noagg, tx,
                       False),
+        "xp_fan": (lambda: make_expr_step(expr_fan), es_noagg, tx, False),
+        "xp_agg": (lambda: make_expr_step(expr_agg), es_noagg, tx, False),
+        "xp_aggk": (lambda: make_expr_step(expr_aggk), es_noagg, tx,
+                    False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,
@@ -404,6 +445,37 @@ def main():
         "xp_l2": (lambda: make_expr_step(expr_l2full), es_noagg, tx,
                   False),
     }
+    if args.agg_geom:
+        # Alternate aggregation-layout geometries on the production
+        # EdgeSet: per-chunk grid overhead scales with the chunk count
+        # (n_chunks = L / ch), so sweeping ch (and rb) separates "the
+        # aggregation math costs this" from "the grid geometry costs
+        # this". Each geometry gets the full-forward variant too, so a
+        # winning geometry is immediately validated end-to-end.
+        from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+        for spec in args.agg_geom.split(","):
+            rb_s, ch_s = spec.split(":")
+            rb_g, ch_g = int(rb_s), int(ch_s)
+            lay = build_dst_layout(
+                np.asarray(es_noagg.dst), args.nodes,
+                row_block=rb_g, chunk=ch_g,
+            )
+            es_g = dataclasses.replace(es_noagg, layout=lay)
+            tag = f"rb{rb_g}ch{ch_g}"
+            print(
+                f"  [geom {tag}] slots={lay.perm.shape[0]} "
+                f"chunks={lay.num_chunks} row_blocks={lay.num_row_blocks}",
+                flush=True,
+            )
+            variants[f"xp_agg_{tag}"] = (
+                lambda: make_expr_step(expr_agg), es_g, tx, False)
+            variants[f"xp_aggk_{tag}"] = (
+                lambda: make_expr_step(expr_aggk), es_g, tx, False)
+            variants[f"xp_fanagg_{tag}"] = (
+                lambda: make_expr_step(expr_fanagg), es_g, tx, False)
+            variants[f"fwd_{tag}"] = (make_fwd_step, es_g, tx, False)
+
     def chain_interleaved(named_steps, iters, rounds=4, draws=1):
         """Interleaved A/B: compile every variant, then alternate
         short/long chain measurements across variants for several rounds
