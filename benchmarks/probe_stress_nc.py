@@ -259,35 +259,41 @@ def main():
             conv2.apply({"params": params["params"]["rgc2"]}, es, x)
         )
 
-    def _dummy_m(params, rows):
+    def _dummy_m(params, rows, width=None):
         vec = params["params"]["rgc1"]["bases"][:, 0, :].sum(axis=0)
+        if width is not None and width != args.hidden:
+            vec = jnp.tile(vec, -(-width // args.hidden))[:width]
         return jax.lax.optimization_barrier(
-            jnp.broadcast_to(vec, (rows, args.hidden))
+            jnp.broadcast_to(vec, (rows, width or args.hidden))
         )
 
-    def expr_fan(params, es):
+    def expr_fan(params, es, width=None):
         # fan-out gather + val scale alone ((E,) rows from the (U, dout)
-        # pair-message table; the read-back sum adds one (E, dout) pass)
+        # pair-message table; the read-back sum adds one (E, dout) pass).
+        # `width` overrides the row width: the production dout=10 rows are
+        # far below the 128-lane tile — measuring the same gather at 128
+        # separates "per-row descriptor floor" from "sub-lane-tile slow
+        # path" (ops/gather.py documents 3.5-6.2 ns/row at >= 128 cols).
         pi = es.pairs
-        m = _dummy_m(params, pi.pair_src.shape[0])
+        m = _dummy_m(params, pi.pair_src.shape[0], width)
         msgs = m[pi.edge_pair] * es.val[:, None]
         return jnp.sum(msgs)
 
-    def expr_agg(params, es):
+    def expr_agg(params, es, width=None):
         # Pallas sorted aggregation alone on dummy (E, dout) messages
         from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
 
-        msgs = _dummy_m(params, es.dst.shape[0])
+        msgs = _dummy_m(params, es.dst.shape[0], width)
         return jnp.sum(aggregate_messages_ad(msgs, es))
 
-    def expr_aggk(params, es):
+    def expr_aggk(params, es, width=None):
         # Pallas aggregation KERNEL alone: dummy PRESORTED (L, dout)
         # messages — no perm gather. xp_agg - xp_aggk = the perm gather's
         # cost; xp_aggk is the grid geometry's own cost.
         from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
 
         lay = es.layout
-        msgs = _dummy_m(params, lay.perm.shape[0])
+        msgs = _dummy_m(params, lay.perm.shape[0], width)
         out = aggregate_presorted_pallas(msgs, lay, es.num_nodes)
         return jnp.sum(out)
 
@@ -308,6 +314,23 @@ def main():
         )
         out = _pair_fan_aggregate(
             m, es, lambda msgs, e: aggregate_messages_ad(msgs, e)
+        )
+        return jnp.sum(out)
+
+    def expr_l1_aggfirst(params, es):
+        # layer 1 via the WN18-class aggregation-first kernel
+        # (rel_spmm_featureless_basis_ad): the wide (nb·dout) source-row
+        # gather is INPUT-FUSED into the Pallas kernel's DMA pipeline —
+        # the mechanism behind the headline op's 3.5 ns/row — at the cost
+        # of nb=40 per-basis one-hot matmuls per chunk. Tests whether
+        # fused gathers keep their rate at AM scale (the path is gated
+        # num_bases <= 8 in production).
+        from rgcn_tpu.ops.pallas_basis import rel_spmm_featureless_basis_ad
+
+        b = params["params"]["rgc1"]["bases"]
+        c = params["params"]["rgc1"]["comps"][:-1]
+        out = rel_spmm_featureless_basis_ad(
+            es, b, c, compute_dtype=jnp.bfloat16
         )
         return jnp.sum(out)
 
@@ -401,6 +424,10 @@ def main():
         "pairs": (lambda: make_step(), es_noagg, tx, False),
         "pairs_f32": (lambda: make_step(), es_noagg, tx, True),
         "fwd": (make_fwd_step, es_noagg, tx, False),
+        # "_nopad" variants disable the lane-padded fan+agg pipeline
+        # (spmm._FAN_AGG_PAD; trace-time flip like "_nofuse")
+        "fwd_nopad": (make_fwd_step, es_noagg, tx, False),
+        "pairs_nopad": (lambda: make_step(), es_noagg, tx, False),
         "fwd_f32": (make_fwd_step, es_noagg, tx, True),
         "fwd_nol2": (lambda: make_fwd_step(with_l2=False), es_noagg, tx,
                      False),
@@ -434,6 +461,16 @@ def main():
         "xp_agg": (lambda: make_expr_step(expr_agg), es_noagg, tx, False),
         "xp_aggk": (lambda: make_expr_step(expr_aggk), es_noagg, tx,
                     False),
+        # width variants: same pieces with 128-lane rows (see expr_fan)
+        "xp_fan128": (lambda: make_expr_step(
+            lambda p, e: expr_fan(p, e, width=128)), es_noagg, tx, False),
+        "xp_agg128": (lambda: make_expr_step(
+            lambda p, e: expr_agg(p, e, width=128)), es_noagg, tx, False),
+        "xp_aggk128": (lambda: make_expr_step(
+            lambda p, e: expr_aggk(p, e, width=128)), es_noagg, tx,
+            False),
+        "xp_l1af": (lambda: make_expr_step(expr_l1_aggfirst), es_noagg,
+                    tx, False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,
@@ -507,6 +544,11 @@ def main():
             old_fuse = _pa._PAIRS_INPUT_FUSION
             if "nofuse" in name:
                 _pa._PAIRS_INPUT_FUSION = False
+            from rgcn_tpu.ops import spmm as _spmm_mod
+
+            old_pad = _spmm_mod._FAN_AGG_PAD
+            if "nopad" in name:
+                _spmm_mod._FAN_AGG_PAD = False
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
@@ -547,6 +589,7 @@ def main():
                     params, opt_state, loss = step(params, opt_state, es)
             finally:
                 _pa._PAIRS_INPUT_FUSION = old_fuse
+                _spmm_mod._FAN_AGG_PAD = old_pad
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]
@@ -610,11 +653,17 @@ def main():
         old_fuse = _pa2._PAIRS_INPUT_FUSION
         if "nofuse" in name:
             _pa2._PAIRS_INPUT_FUSION = False
+        from rgcn_tpu.ops import spmm as _spmm_mod2
+
+        old_pad = _spmm_mod2._FAN_AGG_PAD
+        if "nopad" in name:
+            _spmm_mod2._FAN_AGG_PAD = False
         try:
             with ctx:
                 dt = chain(builder(), es, args.iters, opt=opt)
         finally:
             _pa2._PAIRS_INPUT_FUSION = old_fuse
+            _spmm_mod2._FAN_AGG_PAD = old_pad
         results[name] = round(dt * 1e3, 1)
         print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 

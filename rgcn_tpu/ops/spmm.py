@@ -275,6 +275,25 @@ def rel_spmm_featureless_basis(
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
 
 
+# Lane-pad target for the narrow pair fan-out + aggregation pipeline.
+# False (default) -> never pad; int -> pad messages to that width.
+# MEASURED NEGATIVE (round 9, quiet tunnel, interleaved mins): widening
+# the AM fan-out/aggregation pieces from dout=10 to the 128-lane tile is
+# neutral-to-worse (xp_fan 174.6 vs xp_fan128 182.2 ms; xp_agg 288.9 vs
+# xp_agg128 291.2; kernel-only 66.7 vs 67.0) — XLA's TPU row gather costs
+# ~120-140 ns/row AT THIS PROGRAM SCALE regardless of row width, so
+# re-labeling the already-lane-padded bytes buys nothing. Kept as a probe
+# knob (probe_stress_nc "_nopad"/pad variants) with exactness tests.
+_FAN_AGG_PAD = False
+_LANE_TILE = 128
+
+
+def _fan_pad_width(dout: int):
+    if _FAN_AGG_PAD is False or _FAN_AGG_PAD is None or dout >= _LANE_TILE:
+        return None
+    return max(int(_FAN_AGG_PAD), dout)
+
+
 def _pair_fan_aggregate(m, edges, aggregate):
     """Fan the (U_pad, dout) pair messages out to edges and aggregate.
 
@@ -283,7 +302,10 @@ def _pair_fan_aggregate(m, edges, aggregate):
     aggregation, the fan-out composes INTO the aggregation kernel
     (:func:`rgcn_tpu.ops.pallas_aggregate.aggregate_pairs_ad`) — the
     ``(E, dout)`` message tensor never materializes and the backward is
-    scatter-free. Otherwise: explicit fan-out + the requested reduction.
+    scatter-free. Otherwise: explicit fan-out + the requested reduction,
+    zero-padded to the 128-lane tile when ``_FAN_AGG_PAD`` applies (the
+    pad columns are zeros end-to-end, so the slice-back is exact; the
+    backward's cotangent gather and pair segment-sum run wide too).
     """
     pi = edges.pairs
     if (
@@ -297,6 +319,12 @@ def _pair_fan_aggregate(m, edges, aggregate):
             m, edges.val, pi.edge_pair, edges.dst, pi.agg, edges.layout,
             edges.num_nodes,
         )
+    dout = m.shape[-1]
+    pad_w = _fan_pad_width(dout) if aggregate is not None else None
+    if pad_w is not None and pad_w > dout:
+        m = jnp.pad(m, ((0, 0), (0, pad_w - dout)))
+        msgs = m[pi.edge_pair] * edges.val[:, None]
+        return aggregate(msgs, edges)[:, :dout]
     msgs = m[pi.edge_pair] * edges.val[:, None]
     if aggregate is not None:
         return aggregate(msgs, edges)

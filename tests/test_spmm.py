@@ -502,3 +502,67 @@ def test_node_classifier_composed_pair_agg_matches():
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("featureful", [False, True])
+def test_fan_agg_lane_pad_exact(featureful, monkeypatch):
+    """The lane-padded fan+agg pipeline (``spmm._FAN_AGG_PAD``) == the
+    compact path: forward AND gradients, both pair paths (featureless
+    layer-1 and H-precompute layer-2 analogs). Pad columns are zeros
+    end-to-end, so the slice-back must be exact, not just allclose —
+    (f32 reassociation tolerances: the wider shapes change XLA's
+    fusion/accumulation order at the last bit)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
+
+    rng = np.random.default_rng(11)
+    n, r, nb, dout = 30, 4, 5, 6
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases_fl = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    din = 7
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    bases_ff = jnp.asarray(
+        rng.normal(size=(nb, din, dout)).astype(np.float32)
+    )
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    es = build_edge_set(
+        triples, n, r, tile_size=8, with_dst_layout=True,
+        with_pair_index=True,
+    )
+    # strip the composed layout if present: the padded branch is the
+    # EXPLICIT fan-out path
+    if es.pairs.agg is not None:
+        es = _dc.replace(es, pairs=_dc.replace(es.pairs, agg=None))
+    assert es.layout is not None and es.pairs is not None
+
+    def f(pad):
+        monkeypatch.setattr(spmm, "_FAN_AGG_PAD", pad)
+
+        def loss(b, c):
+            if featureful:
+                out = spmm.rel_spmm_basis_pairs(
+                    es, x, b, c, aggregate=aggregate_messages_ad
+                )
+            else:
+                out = spmm.rel_spmm_featureless_basis(
+                    es, b, c, aggregate=aggregate_messages_ad
+                )
+            return jnp.sum(out * out), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(bases_ff if featureful else bases_fl, comps)
+        return out, grads
+
+    out0, (gb0, gc0) = f(False)
+    out1, (gb1, gc1) = f(128)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
+                               rtol=1e-4, atol=1e-5)
