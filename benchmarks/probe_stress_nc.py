@@ -317,6 +317,30 @@ def main():
         )
         return jnp.sum(out)
 
+    def expr_fused_wide(params, es, fusion=True, width=400):
+        # THE decisive fused-gather test at AM scale: a `width`-wide
+        # source-row gather feeding the Pallas aggregation directly, with
+        # mosaic.allow_input_fusion on (the WN18 headline mechanism) vs
+        # off (materialize (L, width) in HBM first). Models the traffic
+        # of a contract-in-kernel basis layer (table = flat (N, nb·dout)).
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+        vec = params["params"]["rgc1"]["bases"][:, 0, :].sum(axis=0)
+        vec = jnp.tile(vec, -(-width // args.hidden))[:width]
+        table = jax.lax.optimization_barrier(
+            jnp.broadcast_to(vec, (args.nodes, width))
+        ).astype(jnp.bfloat16)
+        lay = es.layout
+        src_z = jnp.concatenate([es.src, jnp.zeros((1,), es.src.dtype)])
+        src_sorted = src_z[lay.perm]  # int gather, cheap
+        xg = table[jnp.clip(src_sorted, 0, args.nodes - 1)]
+        if not fusion:
+            xg = jax.lax.optimization_barrier(xg)
+        out = aggregate_presorted_pallas(
+            xg, lay, es.num_nodes, input_fusion=fusion
+        )
+        return jnp.sum(out)
+
     def expr_l1_aggfirst(params, es):
         # layer 1 via the WN18-class aggregation-first kernel
         # (rel_spmm_featureless_basis_ad): the wide (nb·dout) source-row
@@ -471,6 +495,12 @@ def main():
             False),
         "xp_l1af": (lambda: make_expr_step(expr_l1_aggfirst), es_noagg,
                     tx, False),
+        "xp_fusedw": (lambda: make_expr_step(
+            lambda p, e: expr_fused_wide(p, e, fusion=True)), es_noagg,
+            tx, False),
+        "xp_unfusedw": (lambda: make_expr_step(
+            lambda p, e: expr_fused_wide(p, e, fusion=False)), es_noagg,
+            tx, False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,
@@ -511,6 +541,10 @@ def main():
                 lambda: make_expr_step(expr_aggk), es_g, tx, False)
             variants[f"xp_fanagg_{tag}"] = (
                 lambda: make_expr_step(expr_fanagg), es_g, tx, False)
+            variants[f"xp_fusedw_{tag}"] = (
+                lambda: make_expr_step(
+                    lambda p, e: expr_fused_wide(p, e, fusion=True)),
+                es_g, tx, False)
             variants[f"fwd_{tag}"] = (make_fwd_step, es_g, tx, False)
 
     def chain_interleaved(named_steps, iters, rounds=4, draws=1):
