@@ -297,6 +297,48 @@ def main():
         out = aggregate_presorted_pallas(msgs, lay, es.num_nodes)
         return jnp.sum(out)
 
+    def expr_fan_bar(params, es):
+        # fan-out with a barrier between the gather and its consumers:
+        # isolation (probe_gather6) measured this exact gather shape at
+        # 6.2 ns/row (9.2 ms) vs xp_fan's 171 — if the barrier recovers
+        # the isolated rate, XLA is fusing the gather into the consumer
+        # as per-element loads (the xp_gcmat pathology).
+        pi = es.pairs
+        m = _dummy_m(params, pi.pair_src.shape[0])
+        rows = jax.lax.optimization_barrier(m[pi.edge_pair])
+        return jnp.sum(rows * es.val[:, None])
+
+    def expr_fan_iso(params, es):
+        # replicate probe_gather6's isolated program shape INSIDE this
+        # program: cast producer (no broadcast, no barrier), gather, sum
+        pi = es.pairs
+        m = _dummy_m(params, pi.pair_src.shape[0])
+        t = m * jnp.float32(1.0000001)
+        return jnp.sum(t[pi.edge_pair])
+
+    def expr_perm(params, es):
+        # the layout permutation gather alone (barriered against consumer
+        # fusion), no kernel
+        lay = es.layout
+        msgs = _dummy_m(params, es.dst.shape[0])
+        msgs_z = jnp.concatenate(
+            [msgs, jnp.zeros((1, msgs.shape[1]), msgs.dtype)], axis=0
+        )
+        return jnp.sum(jax.lax.optimization_barrier(msgs_z[lay.perm]))
+
+    def expr_agg_bar(params, es):
+        # perm gather BARRIERED, then the kernel: xp_agg minus consumer
+        # fusion of the perm gather into the kernel feed
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+        lay = es.layout
+        msgs = _dummy_m(params, es.dst.shape[0])
+        msgs_z = jnp.concatenate(
+            [msgs, jnp.zeros((1, msgs.shape[1]), msgs.dtype)], axis=0
+        )
+        srt = jax.lax.optimization_barrier(msgs_z[lay.perm])
+        return jnp.sum(aggregate_presorted_pallas(srt, lay, es.num_nodes))
+
     def expr_fanagg(params, es):
         # The fan-out + aggregation piece alone: dummy pair messages (a
         # barriered broadcast — negligible to produce) fanned out through
@@ -357,6 +399,34 @@ def main():
             es, b, c, compute_dtype=jnp.bfloat16
         )
         return jnp.sum(out)
+
+    def expr_gc_gemm(params, es):
+        # GEMM-form pair contraction: expand the per-pair weights to the
+        # full nb·dout lanes (one-hot matmul), elementwise-scale the flat
+        # gathered rows, and collapse with a static (nb·dout, dout)
+        # selector — two full-width MXU GEMMs instead of U batched
+        # (1, nb) @ (nb, dout) contractions. Isolation (probe_gather6)
+        # says the gather is ~10 ms, so xp_gc's 81 ms is mostly the
+        # batched einsum; this form re-expresses it MXU-natively.
+        t = _table(params)
+        c = params["params"]["rgc1"]["comps"][:-1]
+        pi = es.pairs
+        nb, dout = args.bases, args.hidden
+        rows = jax.lax.optimization_barrier(t[pi.pair_src])  # (U, nb*dout)
+        c_u = c[pi.pair_rel]  # (U, nb)
+        expand = (
+            jax.lax.broadcasted_iota(jnp.int32, (nb, nb * dout), 1) // dout
+            == jax.lax.broadcasted_iota(jnp.int32, (nb, nb * dout), 0)
+        ).astype(rows.dtype)
+        collapse = (
+            jax.lax.broadcasted_iota(jnp.int32, (nb * dout, dout), 0) % dout
+            == jax.lax.broadcasted_iota(jnp.int32, (nb * dout, dout), 1)
+        ).astype(jnp.float32)
+        c_wide = jnp.dot(c_u.astype(rows.dtype), expand,
+                         preferred_element_type=rows.dtype)  # (U, nb*dout)
+        m = jnp.dot((rows * c_wide).astype(jnp.bfloat16), collapse.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)  # (U, dout)
+        return jnp.sum(m)
 
     def expr_gc_mul(params, es):
         # explicit multiply+reduce instead of einsum: if XLA lowers the
@@ -485,6 +555,14 @@ def main():
         "xp_agg": (lambda: make_expr_step(expr_agg), es_noagg, tx, False),
         "xp_aggk": (lambda: make_expr_step(expr_aggk), es_noagg, tx,
                     False),
+        "xp_fan_bar": (lambda: make_expr_step(expr_fan_bar), es_noagg, tx,
+                       False),
+        "xp_fan_iso": (lambda: make_expr_step(expr_fan_iso), es_noagg, tx,
+                       False),
+        "xp_perm": (lambda: make_expr_step(expr_perm), es_noagg, tx,
+                    False),
+        "xp_agg_bar": (lambda: make_expr_step(expr_agg_bar), es_noagg, tx,
+                       False),
         # width variants: same pieces with 128-lane rows (see expr_fan)
         "xp_fan128": (lambda: make_expr_step(
             lambda p, e: expr_fan(p, e, width=128)), es_noagg, tx, False),
@@ -501,6 +579,8 @@ def main():
         "xp_unfusedw": (lambda: make_expr_step(
             lambda p, e: expr_fused_wide(p, e, fusion=False)), es_noagg,
             tx, False),
+        "xp_gcgemm": (lambda: make_expr_step(expr_gc_gemm), es_noagg, tx,
+                      False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,

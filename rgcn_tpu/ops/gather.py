@@ -20,6 +20,25 @@ effective on 400-byte rows) regardless of width/dtype, and splitting wide
 rows buys nothing end-to-end. ``tile_gather`` therefore intentionally
 degenerates to ``table[idx]``; it remains the single call site to revisit
 if a future backend changes the economics.
+
+ROUND-9 REVISION (``benchmarks/probe_gather6.py``, interleaved chains,
+canary-quiet tunnel): the per-row law holds and extends — ISOLATED
+gathers stay fast at every scale probed:
+
+* 33 MB bf16 wide table: 6.3 / 4.4 / 4.3 / 4.5 ns/row at 137k / 400k /
+  800k / 1.6M rows
+* 240 MB bf16 wide table: 32.9 / 16.6 / 12.9 / 10.8 ns/row (a ~4 ms
+  fixed term amortizing out, NOT a per-row penalty)
+* the AM fan shape — (590k, 10) f32 table, 1.5M rows: 6.2 ns/row (9.2 ms)
+
+BUT the same gather shapes INSIDE the AM-scale NC program measure
+115-175 ns/row (probe_stress_nc xp_fan 171 ms, xp_agg's perm ~220 ms,
+xp_fusedw/xp_unfusedw ~290 ms) — a 20-30x inflation from program
+context, independent of row width (xp_*128 equal) and of
+mosaic.allow_input_fusion (fused == unfused). The gather engine is not
+the wall; XLA's fusion/emitter choices around gathers in large programs
+are. See probe_stress_nc's barrier variants (xp_fan_bar/xp_perm/
+xp_agg_bar) for the consumer-fusion discrimination campaign.
 """
 
 from __future__ import annotations
