@@ -98,6 +98,10 @@ def main():
         train_np, num_nodes, num_rels, tile_size=128,
         with_dst_layout=True, with_merged_layout=merge,
     )
+    # one-time transfer — numpy argument leaves re-transfer per jit call
+    # on the tunnel (probe_amctx); the encode was re-paying the EdgeSet
+    # transfer inside every chained measurement
+    eval_edges = jax.device_put(eval_edges)
     layout_s = time.time() - t0
     t0 = time.time()
     filters = build_filters(test_np, data.all_triples, num_nodes)

@@ -132,6 +132,22 @@ def main():
     es_srcsort = dataclasses.replace(
         es_pairs, pairs=build_src_rel_pairs(es_pairs, order="src")
     )
+    # Device-put EdgeSets ONCE, lazily per selected variant: jit
+    # re-transfers numpy argument leaves on every call — on the tunneled
+    # backend that is an RPC per step per used leaf (~80-100 MB/s), which
+    # dominated and distorted every AM-scale number for rounds 6-8
+    # (probe_amctx: the "slow in-program gathers" were the per-step
+    # transfers of their own index/value arrays; isolated gathers were
+    # always fast; first post-fix fwd: 83.4 vs 465-578 ms). Lazy + cached
+    # because four resident device EdgeSets plus per-variant optimizer
+    # states OOM the 16 GB chip in wide --ab campaigns.
+    _dev_cache = {}
+
+    def dev(es):
+        key = id(es)
+        if key not in _dev_cache:
+            _dev_cache[key] = jax.device_put(es)
+        return _dev_cache[key]
     print(
         f"probe_stress_nc: N={args.nodes} R={args.rels} "
         f"E={es_pairs.num_edges} pairs={es_pairs.pairs.num_pairs} "
@@ -627,6 +643,15 @@ def main():
                 es_g, tx, False)
             variants[f"fwd_{tag}"] = (make_fwd_step, es_g, tx, False)
 
+    # forward-only / expression pieces never touch the optimizer state —
+    # register them with sgd (EmptyState) so a wide --ab campaign does
+    # not hold one 1-GB adam state PER VARIANT on the 16 GB chip
+    variants = {
+        name: (b, es, (sgd if name.startswith(("fwd", "xp_")) else opt),
+               f32)
+        for name, (b, es, opt, f32) in variants.items()
+    }
+
     def chain_interleaved(named_steps, iters, rounds=4, draws=1):
         """Interleaved A/B: compile every variant, then alternate
         short/long chain measurements across variants for several rounds
@@ -649,6 +674,7 @@ def main():
 
         states = {}
         for name, (step, es, opt) in named_steps.items():
+            es = dev(es)
             params = model.init(jax.random.key(0), es)
             opt_state = opt.init(params)
             t0 = time.time()
@@ -774,7 +800,7 @@ def main():
             _spmm_mod2._FAN_AGG_PAD = False
         try:
             with ctx:
-                dt = chain(builder(), es, args.iters, opt=opt)
+                dt = chain(builder(), dev(es), args.iters, opt=opt)
         finally:
             _pa2._PAIRS_INPUT_FUSION = old_fuse
             _spmm_mod2._FAN_AGG_PAD = old_pad

@@ -58,6 +58,9 @@ def main():
         with_pair_index=True,
         layout_row_block=auto_nc_row_block(args.nodes),
     )
+    # one-time transfer: jit re-transfers numpy argument leaves per call
+    # (a host->device RPC per epoch on the tunnel, probe_amctx)
+    es = jax.device_put(es)
     prep_s = time.time() - t0
 
     rng = np.random.default_rng(9)

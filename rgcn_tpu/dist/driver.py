@@ -283,10 +283,12 @@ def train_link_predictor_sharded(
         decomposition=enc.decomposition.type,
         num_bases=enc.decomposition.num_bases,
     )
-    eval_edges = build_edge_set(
+    # one-time transfer: jit re-transfers numpy argument leaves per call
+    # (a host->device RPC per evaluation on tunneled backends, probe_amctx)
+    eval_edges = jax.device_put(build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,
         with_dst_layout=True, with_merged_layout=merge_eval,
-    )
+    ))
     from rgcn_tpu.train.evaluate import build_filters
 
     filters = (

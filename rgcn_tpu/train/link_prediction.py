@@ -445,10 +445,14 @@ def train_link_predictor(
         decomposition=enc.decomposition.type,
         num_bases=enc.decomposition.num_bases,
     )
-    eval_edges = build_edge_set(
+    # Static eval structures go to the device ONCE: jit re-transfers
+    # numpy argument leaves per call, a host->device RPC per leaf on
+    # tunneled backends (probe_amctx) — the eval encode was re-paying the
+    # full-graph EdgeSet transfer on every check_every evaluation.
+    eval_edges = jax.device_put(build_edge_set(
         train_np, num_nodes, num_rels, tile_size=tile_size,
         with_dst_layout=True, with_merged_layout=merge_eval,
-    )
+    ))
     filters = (
         build_filters(test_np, data.all_triples, num_nodes)
         if cfg.evaluation.filtered

@@ -121,6 +121,14 @@ def train_node_classifier(
         with_pair_index=pair_ok,
         layout_row_block=auto_nc_row_block(data.num_nodes),
     )
+    # Move the static EdgeSet to the device ONCE. jit re-transfers numpy
+    # argument leaves on EVERY call, and on the tunneled backend that is
+    # a host->device RPC per epoch per used leaf (~80-100 MB/s measured):
+    # at AM scale the step was paying 300-500 ms/epoch of transfers that
+    # masqueraded as device time for three rounds (probe_amctx — every
+    # in-program "slow gather" was the transfer of its own index/value
+    # arrays; the isolated gathers were always fast).
+    edges = jax.device_put(edges)
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)
     train_idx = jnp.asarray(train_idx_np)
