@@ -416,6 +416,31 @@ def main():
         )
         return jnp.sum(out)
 
+    def expr_dm_scatter(params, es):
+        # the pair backward's d_m term: segment-sum of (E, dout) cotangent
+        # rows into the (U+1, dout) pair table (XLA scatter-add)
+        pi = es.pairs
+        u_pad = pi.pair_src.shape[0]
+        gm = _dummy_m(params, es.dst.shape[0])
+        d_m = jax.ops.segment_sum(
+            gm * es.val[:, None], pi.edge_pair, num_segments=u_pad + 1
+        )
+        return jnp.sum(d_m)
+
+    def expr_dt_scatter(params, es):
+        # the pair backward's dT term: scatter-add of (U, nb*dout) rows
+        # into the (N, nb*dout) flat table (the AD of the wide gather)
+        pi = es.pairs
+        u_pad = pi.pair_src.shape[0]
+        vec = params["params"]["rgc1"]["bases"][:, 0, :].sum(axis=0)
+        vec = jnp.tile(vec, args.bases)
+        rows = jax.lax.optimization_barrier(
+            jnp.broadcast_to(vec, (u_pad, args.bases * args.hidden))
+        )
+        dt = jnp.zeros((args.nodes, args.bases * args.hidden),
+                       jnp.float32).at[pi.pair_src].add(rows)
+        return jnp.sum(dt)
+
     def expr_gc_gemm(params, es):
         # GEMM-form pair contraction: expand the per-pair weights to the
         # full nb·dout lanes (one-hot matmul), elementwise-scale the flat
@@ -538,6 +563,10 @@ def main():
         # (spmm._FAN_AGG_PAD; trace-time flip like "_nofuse")
         "fwd_nopad": (make_fwd_step, es_noagg, tx, False),
         "pairs_nopad": (lambda: make_step(), es_noagg, tx, False),
+        # "_gemm" variants enable the GEMM-form pair contraction
+        # (spmm._PAIR_CONTRACT_GEMM; trace-time flip like "_nofuse")
+        "fwd_gemm": (make_fwd_step, es_noagg, tx, False),
+        "pairs_gemm": (lambda: make_step(), es_noagg, tx, False),
         "fwd_f32": (make_fwd_step, es_noagg, tx, True),
         "fwd_nol2": (lambda: make_fwd_step(with_l2=False), es_noagg, tx,
                      False),
@@ -597,6 +626,10 @@ def main():
             tx, False),
         "xp_gcgemm": (lambda: make_expr_step(expr_gc_gemm), es_noagg, tx,
                       False),
+        "xp_dm": (lambda: make_expr_step(expr_dm_scatter), es_noagg, tx,
+                  False),
+        "xp_dt": (lambda: make_expr_step(expr_dt_scatter), es_noagg, tx,
+                  False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
                      False),
         "xp_gcmul": (lambda: make_expr_step(expr_gc_mul), es_noagg, tx,
@@ -689,6 +722,9 @@ def main():
             old_pad = _spmm_mod._FAN_AGG_PAD
             if "nopad" in name:
                 _spmm_mod._FAN_AGG_PAD = False
+            old_gemm = _spmm_mod._PAIR_CONTRACT_GEMM
+            if "gemm" in name:
+                _spmm_mod._PAIR_CONTRACT_GEMM = True
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
@@ -730,6 +766,7 @@ def main():
             finally:
                 _pa._PAIRS_INPUT_FUSION = old_fuse
                 _spmm_mod._FAN_AGG_PAD = old_pad
+                _spmm_mod._PAIR_CONTRACT_GEMM = old_gemm
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]
@@ -798,12 +835,16 @@ def main():
         old_pad = _spmm_mod2._FAN_AGG_PAD
         if "nopad" in name:
             _spmm_mod2._FAN_AGG_PAD = False
+        old_gemm2 = _spmm_mod2._PAIR_CONTRACT_GEMM
+        if "gemm" in name:
+            _spmm_mod2._PAIR_CONTRACT_GEMM = True
         try:
             with ctx:
                 dt = chain(builder(), dev(es), args.iters, opt=opt)
         finally:
             _pa2._PAIRS_INPUT_FUSION = old_fuse
             _spmm_mod2._FAN_AGG_PAD = old_pad
+            _spmm_mod2._PAIR_CONTRACT_GEMM = old_gemm2
         results[name] = round(dt * 1e3, 1)
         print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 

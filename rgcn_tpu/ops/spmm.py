@@ -331,6 +331,31 @@ def _pair_fan_aggregate(m, edges, aggregate):
     return aggregate_messages(msgs, edges.dst, edges.num_nodes)
 
 
+# GEMM-form pair contraction: expand the per-pair basis weights to the
+# full nb·dout lanes with a static one-hot (U, nb) @ (nb, nb·dout),
+# elementwise-scale the flat gathered rows, and collapse with a static
+# (nb·dout, dout) selector — two full-width MXU GEMMs + one elementwise
+# pass instead of U batched (1, nb) @ (nb, dout) contractions (measured
+# 18.8 vs 28.4 ms interleaved on the AM layer-1 gather+contract piece,
+# probe_stress_nc --ab xp_gcgemm,xp_gc post-device_put). Same math
+# reassociated; on TPU the per-term product rounds at the compute dtype
+# before the f32 collapse accumulation (bf16-class, same as the Pallas
+# kernels' default).
+_PAIR_CONTRACT_GEMM = False
+
+
+def _expand_collapse(nb, dout, dtype):
+    expand = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, nb * dout), 1) // dout
+        == jax.lax.broadcasted_iota(jnp.int32, (nb, nb * dout), 0)
+    ).astype(dtype)
+    collapse = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb * dout, dout), 0) % dout
+        == jax.lax.broadcasted_iota(jnp.int32, (nb * dout, dout), 1)
+    ).astype(dtype)
+    return expand, collapse
+
+
 def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
     """Per-unique-(src, rel) contraction ``m[u] = rows[u] · comps[rel_u]``
     from a flat ``(N, nb·dout)`` gather table; checkpoint-grouped above
@@ -343,9 +368,14 @@ def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
         # per-element strided loads (interleaved A/B at AM scale: 82.9 vs
         # 96.5 ms on the gather+contract piece, probe_stress_nc
         # --ab xp_gc,xp_gcmat)
-        rows = jax.lax.optimization_barrier(
-            table[pi.pair_src]
-        ).reshape(u_pad, nb, dout)
+        rows = jax.lax.optimization_barrier(table[pi.pair_src])
+        if _PAIR_CONTRACT_GEMM:
+            expand, collapse = _expand_collapse(nb, dout, rows.dtype)
+            c_wide = jnp.dot(c_u.astype(rows.dtype), expand,
+                             precision=precision)
+            return jnp.dot(rows * c_wide, collapse, precision=precision,
+                           preferred_element_type=jnp.float32)
+        rows = rows.reshape(u_pad, nb, dout)
         return jnp.einsum("ubo,ub->uo", rows, c_u, precision=precision,
                           preferred_element_type=jnp.float32)
     group = max(1, _PAIR_ELEM_BUDGET // (nb * dout))

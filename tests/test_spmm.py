@@ -566,3 +566,48 @@ def test_fan_agg_lane_pad_exact(featureful, monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("featureful", [False, True])
+def test_pair_contract_gemm_exact(featureful, monkeypatch):
+    """GEMM-form pair contraction (``spmm._PAIR_CONTRACT_GEMM``) == the
+    batched einsum: forward AND gradients, both pair paths (f32
+    reassociation tolerances)."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    n, r, nb, dout = 30, 4, 5, 6
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases_fl = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    din = 7
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    bases_ff = jnp.asarray(
+        rng.normal(size=(nb, din, dout)).astype(np.float32)
+    )
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    es = build_edge_set(triples, n, r, tile_size=8, with_pair_index=True)
+
+    def f(gemm):
+        monkeypatch.setattr(spmm, "_PAIR_CONTRACT_GEMM", gemm)
+
+        def loss(b, c):
+            if featureful:
+                out = spmm.rel_spmm_basis_pairs(es, x, b, c)
+            else:
+                out = spmm.rel_spmm_featureless_basis(es, b, c)
+            return jnp.sum(out * out), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(bases_ff if featureful else bases_fl, comps)
+        return out, grads
+
+    out0, (gb0, gc0) = f(False)
+    out1, (gb1, gc1) = f(True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
+                               rtol=1e-4, atol=1e-5)
