@@ -575,6 +575,7 @@ def main():
         "noagg": (lambda: make_step(), es_noagg, tx, False),
         "fwd_noagg": (make_fwd_step, es_noagg, tx, False),
         "agg": (lambda: make_step(), es_pairs, tx, False),
+        "agg_gemm": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg": (make_fwd_step, es_pairs, tx, False),
         "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),

@@ -55,7 +55,7 @@ def main():
 
     es = build_edge_set(
         triples, args.nodes, args.rels, tile_size=512, with_dst_layout=True,
-        with_pair_index=True,
+        with_pair_index=True, with_pair_agg=True,
         layout_row_block=auto_nc_row_block(args.nodes),
     )
     # one-time transfer: jit re-transfers numpy argument leaves per call

@@ -340,8 +340,10 @@ def _pair_fan_aggregate(m, edges, aggregate):
 # probe_stress_nc --ab xp_gcgemm,xp_gc post-device_put). Same math
 # reassociated; on TPU the per-term product rounds at the compute dtype
 # before the f32 collapse accumulation (bf16-class, same as the Pallas
-# kernels' default).
-_PAIR_CONTRACT_GEMM = False
+# kernels' default). Default ON: exact-reassociation (tests), measured
+# faster end-to-end (pairs_gemm 426.4 vs pairs 432.8; fwd_gemm 88.6 vs
+# fwd 92.8, interleaved post-device_put).
+_PAIR_CONTRACT_GEMM = True
 
 
 def _expand_collapse(nb, dout, dtype):

@@ -115,10 +115,16 @@ def train_node_classifier(
     )
     from rgcn_tpu.graph.structure import auto_nc_row_block
 
+    # with_pair_agg: the composed pair aggregation (scatter-free d_m
+    # backward) HALVES the AM-scale step — 219.8 vs 432.8 ms interleaved,
+    # forward 87.9 vs 92.8 (probe_stress_nc --ab pairs,agg post-
+    # device_put). Its round-7 "2.3x slower forward" verdict was per-step
+    # numpy transfer contamination (the composed path carries ~20 MB more
+    # index arrays, which the pre-fix probe re-transferred every call).
     edges = build_edge_set(
         data.triples, data.num_nodes, data.num_relations, tile_size=tile_size,
         with_dst_layout=True, with_merged_layout=merge_ok,
-        with_pair_index=pair_ok,
+        with_pair_index=pair_ok, with_pair_agg=pair_ok,
         layout_row_block=auto_nc_row_block(data.num_nodes),
     )
     # Move the static EdgeSet to the device ONCE. jit re-transfers numpy
