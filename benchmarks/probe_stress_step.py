@@ -111,7 +111,26 @@ def main():
 
     tx = make_optimizer("adam", 0.01)
 
-    def make_step(structured: bool):
+    def _perturb(params, loss):
+        # bounded data-dependence for forward-only chains (probe_stress_nc)
+        leaves, treedef = jax.tree.flatten(params)
+        i = min(range(len(leaves)), key=lambda j: leaves[j].size)
+        leaves[i] = leaves[i] + loss.astype(leaves[i].dtype) * 1e-12
+        return jax.tree.unflatten(treedef, leaves)
+
+    def make_step(structured, fwd_only=False, encoder_only=False):
+        """Variants beyond plain/structured isolate the in-jit decoder
+        backward (VERDICT r04 #7):
+
+        * ``fwd``     — structured forward only (no grad, no adam):
+                        step − fwd = backward + adam.
+        * ``encgrad`` — full grad step whose loss is the encoder output
+                        sum (no decoder): structured − encgrad = the
+                        decoder's fwd+bwd share (graph build + encoder
+                        fwd/bwd + adam are common terms).
+        * ``fwd_enc`` — encoder forward only: (structured − fwd) −
+                        (encgrad − fwd_enc) ≈ the decoder BACKWARD alone.
+        """
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, positives, key):
             k_neg, k_drop, k_sl = jax.random.split(key, 3)
@@ -120,6 +139,21 @@ def main():
                 dropout_rate=0.5, dropout_key=k_drop,
                 with_dst_layout=True, row_block=rb,
             )
+            if encoder_only:
+                def loss_fn(p):
+                    nodes = model.apply(
+                        p, edges, deterministic=False,
+                        rngs={"dropout": k_sl}, method=model.encode,
+                    )
+                    return jnp.sum(nodes) * 1e-6
+
+                if fwd_only:
+                    loss = loss_fn(params)
+                    return _perturb(params, loss), opt_state, loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state2,
+                        loss)
             if structured:
                 ce, ch, labels = negative_structure(
                     k_neg, positives, n, ns, 0.5
@@ -148,6 +182,9 @@ def main():
                         scores, labels).mean()
                     return loss + cfg.decoder.l2_penalty * penalty
 
+            if fwd_only:
+                loss = loss_fn(params)
+                return _perturb(params, loss), opt_state, loss
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state2, loss
@@ -223,20 +260,28 @@ def main():
                       f"(best {best[name] * 1e3:.1f})", flush=True)
         return {k: round(v * 1e3, 1) for k, v in best.items()}
 
-    variants = {"plain": False, "structured": True}
+    variants = {
+        "plain": dict(structured=False),
+        "structured": dict(structured=True),
+        "fwd": dict(structured=True, fwd_only=True),
+        "encgrad": dict(structured=True, encoder_only=True),
+        "fwd_enc": dict(structured=True, fwd_only=True,
+                        encoder_only=True),
+    }
     results = {}
     if args.ab:
         named = {
-            name: make_step(variants[name]) for name in args.ab.split(",")
+            name: make_step(**variants[name])
+            for name in args.ab.split(",")
         }
         results = chain_interleaved(named, args.iters, args.rounds)
         for name, ms in results.items():
             print(f"  {name}: {ms} ms/step (interleaved min)", flush=True)
     else:
-        for name, structured in variants.items():
+        for name, kw in variants.items():
             if args.only and args.only not in name:
                 continue
-            dt = chain(make_step(structured), args.iters)
+            dt = chain(make_step(**kw), args.iters)
             results[name] = round(dt * 1e3, 1)
             print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 
