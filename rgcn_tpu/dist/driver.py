@@ -375,9 +375,12 @@ def train_node_classifier_sharded(
     passing, manual-AD collectives, replicated params), per-epoch
     train/test accuracies come from a sharded forward. ``backend='pallas'``
     additionally builds per-shard destination layouts
-    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_layouts`). The per-shard
-    message paths run the plain tile contraction — the pair / coalesced
-    indexes are single-device layouts and are not constructed here.
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_layouts`). Many-basis
+    featureless configs additionally carry per-shard HOST-built pair
+    indexes + composed pair aggregations
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_pairs_host`) — the same
+    2.0× AM-scale structure the single-device trainer rides. The
+    coalesced (merged) index stays single-device only.
 
     Returns final test accuracy (percent). Exactness vs the single-device
     trainer is pinned by ``tests/test_dist.py``.
@@ -400,15 +403,35 @@ def train_node_classifier_sharded(
         data.triples, data.num_nodes, data.num_relations,
         tile_size=tile_size, tile_multiple=n_shards,
     )
-    es_s = shard_edge_set(es, mesh, axis_name=edge_axis)
-    if backend == "pallas":
-        if row_block is None:
-            from rgcn_tpu.graph.structure import auto_nc_row_block
+    # Many-basis featureless configs (AM: nb=40) ride the pair
+    # pre-contraction + composed pair aggregation on the single-device
+    # trainer (2.0× at AM scale, round 10) — carry the same host-built
+    # structures per shard so the sharded path keeps the win. Same
+    # gating as train_node_classifier's pair_ok.
+    decomp = rg.decomposition
+    pair_ok = (
+        backend == "pallas"
+        and rg.model == "rgcn"
+        and decomp is not None
+        and decomp.type == "basis"
+        and decomp.num_bases > 8
+    )
+    if pair_ok:
+        from rgcn_tpu.dist.mesh import prepare_sharded_pairs_host
 
-            row_block = auto_nc_row_block(data.num_nodes)
-        es_s = prepare_sharded_layouts(
-            es_s, mesh, axis_name=edge_axis, row_block=row_block
+        es_s = prepare_sharded_pairs_host(
+            es, mesh, axis_name=edge_axis, row_block=row_block
         )
+    else:
+        es_s = shard_edge_set(es, mesh, axis_name=edge_axis)
+        if backend == "pallas":
+            if row_block is None:
+                from rgcn_tpu.graph.structure import auto_nc_row_block
+
+                row_block = auto_nc_row_block(data.num_nodes)
+            es_s = prepare_sharded_layouts(
+                es_s, mesh, axis_name=edge_axis, row_block=row_block
+            )
 
     train_idx_np, train_lbl_np = data.index_labels(data.train)
     test_idx_np, test_lbl_np = data.index_labels(data.test)

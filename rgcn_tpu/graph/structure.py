@@ -313,13 +313,20 @@ def build_src_rel_pairs(
     )
 
 
-def build_pair_agg(es: EdgeSet) -> PairAggLayout:
+def build_pair_agg(
+    es: EdgeSet, grad_pad_to: Optional[int] = None
+) -> PairAggLayout:
     """Compose an EdgeSet's pair fan-out with its destination layout.
 
     Requires ``es.pairs`` and ``es.layout``. All maps are static: the
     layout permutation points pad slots at ``E_pad`` (the appended
     zero-message row), which composes to pair ``U_pad`` / dst
     ``num_nodes`` sentinels (both index appended zero rows at use).
+
+    ``grad_pad_to`` pads the backward (slots-grouped-by-pair) layout to a
+    fixed slot count — per-shard layouts of an edge-partitioned graph
+    need uniform static shapes across shards
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_pairs_host`).
     """
     if es.pairs is None or es.layout is None:
         raise ValueError("build_pair_agg needs pairs and a dst layout")
@@ -345,7 +352,7 @@ def build_pair_agg(es: EdgeSet) -> PairAggLayout:
     grad_layout = build_dst_layout(
         slot_pair, u_pad,
         row_block=auto_nc_row_block(u_pad, chunk=es.layout.chunk),
-        chunk=es.layout.chunk,
+        chunk=es.layout.chunk, pad_to=grad_pad_to,
     )
     gperm = np.asarray(grad_layout.perm)
     perm_z = np.concatenate([perm, [e_pad]]).astype(np.int64)
@@ -395,14 +402,14 @@ def build_edge_set(
 
     ``with_pair_agg=True`` (requires ``with_pair_index`` and
     ``with_dst_layout``) additionally composes the pair fan-out into the
-    aggregation layout (:func:`build_pair_agg`). OFF by default — a
-    MEASURED NEGATIVE at AM scale on v5e: the composed slot→pair gather
-    loses the two-hop path's locality (edges→pairs is contiguous within
-    relation segments, layout-perm→edges is dst-block ordered) and ran
-    2.3× slower forward (interleaved chains, 1126.7 vs 482.8 ms;
-    ``benchmarks/probe_stress_nc.py --ab fwd_agg_nofuse,fwd_noagg``), with
-    kernel input fusion worse still (2631 ms). Kept for exactness-tested
-    experimentation on other topologies.
+    aggregation layout (:func:`build_pair_agg`) — the NC trainer's
+    default for many-basis configs since round 10: it HALVES the
+    AM-scale step (212.9 vs 426.8 ms interleaved, canary-quiet;
+    ``benchmarks/probe_stress_nc.py --ab agg,pairs --draws 4``) via the
+    small (U, dout) gather table and the scatter-free d_m backward. Its
+    earlier "2.3× slower forward" verdict (round 7) was per-step numpy
+    transfer contamination — the composed path carries ~20 MB more index
+    arrays, which pre-``device_put`` probes re-transferred every call.
 
     ``triples`` holds the *original* graph (relations in ``[0, R)``); inverse
     edges are generated here (relation ``p + R``), mirroring

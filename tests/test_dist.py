@@ -239,6 +239,95 @@ def test_sharded_nc_step_pallas_matches_single_device(mesh):
     tree_allclose(params_s, params_ref)
 
 
+def test_sharded_nc_step_pairs_matches_single_device(mesh):
+    """Sharded NC training through the per-shard HOST-built pair index +
+    composed pair aggregation (prepare_sharded_pairs_host — the many-basis
+    AM-class path, 2.0× at AM scale) == the single-device pair-path step.
+    Pair dedup is per shard and the composed d_m backward runs per shard;
+    the layer psum (manual-AD all_reduce) recovers the full-graph sums."""
+    from rgcn_tpu.dist.mesh import prepare_sharded_pairs_host
+
+    rng = np.random.default_rng(31)
+    n, r, c, nb = 48, 6, 3, 10  # nb > 8 engages the pair paths
+    triples = make_random_triples(rng, n, r, 220)
+    train_idx = jnp.asarray(rng.choice(n, 14, replace=False))
+    train_lbl = jnp.asarray(rng.integers(0, c, 14))
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, num_classes=c, hidden_size=8,
+        decomposition="basis", num_bases=nb,
+    )
+    model_s = NodeClassifier(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = NodeClassifier(**kwargs)
+
+    es_1 = build_edge_set(
+        triples, n, r, tile_size=8, with_dst_layout=True,
+        with_pair_index=True, with_pair_agg=True,
+    )
+    es_bare = build_edge_set(triples, n, r, tile_size=8,
+                             tile_multiple=N_DEV)
+    es_s = prepare_sharded_pairs_host(es_bare, mesh, row_block=8)
+    # every shard really carries pair structure
+    assert es_s.pairs is not None and es_s.pairs.agg is not None
+    assert es_s.layout.perm.shape[0] % N_DEV == 0
+
+    params = model_1.init(jax.random.key(0), es_1)
+    tx = make_optimizer("sgd", 0.01)
+
+    def loss_1(p):
+        logits = model_1.apply(p, es_1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], train_lbl
+        ).mean() + 0.01 * model_1.layer1_l2(p)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    step = make_sharded_nc_step(
+        model_s, tx, mesh, train_idx, train_lbl, layer1_l2=0.01
+    )
+    params_s, _, loss_s = step(params, tx.init(params), es_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+    tree_allclose(params_s, params_ref)
+
+
+def test_sharded_nc_driver_pairs_matches_single_device(mesh):
+    """The sharded NC driver auto-selects the per-shard pair structures
+    for many-basis configs (pair_ok gating mirrors the single-device
+    trainer) and tracks the single-device trainer metric-level."""
+    from rgcn_tpu.config import load_experiment as _load
+    from rgcn_tpu.data.synthetic import synthetic_node_classification
+    from rgcn_tpu.dist.driver import train_node_classifier_sharded
+    from rgcn_tpu.train.node_classification import train_node_classifier
+    from rgcn_tpu.utils.logging import ScalarLogger
+
+    data = synthetic_node_classification(
+        num_nodes=200, num_rels=6, num_edges=1200, num_classes=3,
+        labeled_frac=0.6, signal=0.9, seed=11,
+    )
+    cfg = _load({
+        "dataset": {"name": "synthetic"},
+        "training": {"epochs": 50,
+                     "optimiser": {"algorithm": "adam",
+                                   "learn_rate": 0.01,
+                                   "weight_decay": 0.0}},
+        "rgcn": {"model": "rgcn", "num_layers": 2, "hidden_size": 8,
+                 "decomposition": {"type": "basis", "num_bases": 10}},
+        "evaluation": {"final_run": True},
+    })
+    quiet = ScalarLogger(verbose=False)
+    acc_1 = train_node_classifier(cfg, data, seed=3, logger=quiet,
+                                  tile_size=8)
+    acc_s = train_node_classifier_sharded(
+        cfg, data, mesh, seed=3, logger=quiet, tile_size=8,
+        backend="pallas",
+    )
+    assert acc_1 >= 70.0 and acc_s >= 70.0, (acc_1, acc_s)
+    assert abs(acc_1 - acc_s) <= 8.0, (acc_1, acc_s)
+
+
 @pytest.mark.parametrize("decomp", [None, "basis"])
 def test_sharded_lp_step_pallas_matches_single_device(mesh, decomp):
     """Sharded LP training with per-shard in-jit Pallas layouts == the
