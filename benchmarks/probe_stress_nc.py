@@ -416,6 +416,31 @@ def main():
         )
         return jnp.sum(out)
 
+    def expr_gradagg(params, es):
+        # the COMPOSED pair backward's d_m term alone: one presorted
+        # aggregation over the slots-grouped-by-pair layout (dummy
+        # cotangent rows; rides es_pairs — the production agg path)
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+        agg_l = es.pairs.agg
+        u_pad = es.pairs.pair_src.shape[0]
+        rows = _dummy_m(params, agg_l.grad_layout.perm.shape[0])
+        out = aggregate_presorted_pallas(rows, agg_l.grad_layout, u_pad)
+        return jnp.sum(out)
+
+    def expr_aggfwd(params, es):
+        # the composed forward aggregation alone: slot→pair gather +
+        # Pallas kernel on dummy (U_pad, dout) pair messages (es_pairs)
+        from rgcn_tpu.ops.pallas_aggregate import aggregate_pairs_ad
+
+        pi = es.pairs
+        m = _dummy_m(params, pi.pair_src.shape[0])
+        out = aggregate_pairs_ad(
+            m, es.val, pi.edge_pair, es.dst, pi.agg, es.layout,
+            es.num_nodes,
+        )
+        return jnp.sum(out)
+
     def expr_dm_scatter(params, es):
         # the pair backward's d_m term: segment-sum of (E, dout) cotangent
         # rows into the (U+1, dout) pair table (XLA scatter-add)
@@ -629,6 +654,11 @@ def main():
                       False),
         "xp_dm": (lambda: make_expr_step(expr_dm_scatter), es_noagg, tx,
                   False),
+        # agg-path pieces (ride es_pairs — the production composed path)
+        "xp_gradagg": (lambda: make_expr_step(expr_gradagg), es_pairs, tx,
+                       False),
+        "xp_aggfwd": (lambda: make_expr_step(expr_aggfwd), es_pairs, tx,
+                      False),
         "xp_dt": (lambda: make_expr_step(expr_dt_scatter), es_noagg, tx,
                   False),
         "xp_gcmat": (lambda: make_expr_step(expr_gc_mat), es_noagg, tx,
