@@ -601,6 +601,10 @@ def main():
         "fwd_noagg": (make_fwd_step, es_noagg, tx, False),
         "agg": (lambda: make_step(), es_pairs, tx, False),
         "agg_gemm": (lambda: make_step(), es_pairs, tx, False),
+        # "_dtscat" disables the scatter-free wide-gather backward
+        # (spmm._PAIR_DT_LAYOUT; trace-time flip) — the dT term runs as
+        # the XLA scatter-add baseline
+        "agg_dtscat": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg": (make_fwd_step, es_pairs, tx, False),
         "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
@@ -756,6 +760,9 @@ def main():
             old_gemm = _spmm_mod._PAIR_CONTRACT_GEMM
             if "gemm" in name:
                 _spmm_mod._PAIR_CONTRACT_GEMM = True
+            old_dtlay = _spmm_mod._PAIR_DT_LAYOUT
+            if "dtscat" in name:
+                _spmm_mod._PAIR_DT_LAYOUT = False
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
@@ -798,6 +805,7 @@ def main():
                 _pa._PAIRS_INPUT_FUSION = old_fuse
                 _spmm_mod._FAN_AGG_PAD = old_pad
                 _spmm_mod._PAIR_CONTRACT_GEMM = old_gemm
+                _spmm_mod._PAIR_DT_LAYOUT = old_dtlay
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]

@@ -177,6 +177,7 @@ def prepare_sharded_pairs_host(
         SrcRelPairs,
         auto_nc_row_block,
         build_pair_agg,
+        build_pair_src_layout,
         build_src_rel_pairs,
     )
     from rgcn_tpu.ops.pallas_aggregate import DstLayout, build_dst_layout
@@ -237,6 +238,12 @@ def prepare_sharded_pairs_host(
     rb_grad = auto_nc_row_block(u_max, chunk)
     nrb_grad = -(-u_max // rb_grad)
     lb_bound = nrb_grad * chunk + (-(-l_bound // chunk)) * chunk
+    # pairs-grouped-by-source layout (scatter-free dT backward): slots
+    # over U_max pair entries, num_nodes segments — same bound law
+    # (build_pair_src_layout picks its own auto row block over N)
+    rb_src = auto_nc_row_block(num_nodes, chunk)
+    nrb_src = -(-num_nodes // rb_src)
+    ls_bound = nrb_src * chunk + (-(-u_max // chunk)) * chunk
 
     def _pad_pairs(p: SrcRelPairs) -> SrcRelPairs:
         extra = u_max - p.pair_src.shape[0]
@@ -253,8 +260,12 @@ def prepare_sharded_pairs_host(
         pairs_k = _pad_pairs(es_k.pairs)
         es_k = dataclasses.replace(es_k, pairs=pairs_k)
         agg_k = build_pair_agg(es_k, grad_pad_to=lb_bound)
+        src_lay_k = build_pair_src_layout(es_k, pad_to=ls_bound)
         locals_[i] = dataclasses.replace(
-            es_k, pairs=dataclasses.replace(pairs_k, agg=agg_k)
+            es_k,
+            pairs=dataclasses.replace(
+                pairs_k, agg=agg_k, src_layout=src_lay_k
+            ),
         )
 
     def cat(get):
@@ -281,6 +292,14 @@ def prepare_sharded_pairs_host(
         grad_edge=cat(lambda e: e.pairs.agg.grad_edge),
         grad_dst=cat(lambda e: e.pairs.agg.grad_dst),
     )
+    s0 = locals_[0].pairs.src_layout
+    src_layout = DstLayout(
+        perm=cat(lambda e: e.pairs.src_layout.perm),
+        local_dst=cat(lambda e: e.pairs.src_layout.local_dst),
+        chunk_block=cat(lambda e: e.pairs.src_layout.chunk_block),
+        num_row_blocks=s0.num_row_blocks, row_block=s0.row_block,
+        chunk=s0.chunk,
+    )
     pairs = SrcRelPairs(
         pair_src=cat(lambda e: e.pairs.pair_src),
         pair_rel=cat(lambda e: e.pairs.pair_rel),
@@ -289,6 +308,7 @@ def prepare_sharded_pairs_host(
         # (informational only — compute uses the padded static shapes)
         num_pairs=max(e.pairs.num_pairs for e in locals_),
         agg=agg,
+        src_layout=src_layout,
     )
     out = dataclasses.replace(edges, layout=layout, pairs=pairs)
     return jax.device_put(out, NamedSharding(mesh, P(axis_name)))

@@ -155,6 +155,15 @@ class SrcRelPairs:
     # small ``(U, dout)`` pair-message table, and the backward runs
     # scatter-free through a second host-built layout over slots.
     agg: Optional["PairAggLayout"] = None
+    # Optional pairs-grouped-by-source layout
+    # (:class:`~rgcn_tpu.ops.pallas_aggregate.DstLayout` over
+    # ``pair_src``, ``num_nodes`` segments): makes the wide-gather
+    # backward ``dT[n] = Σ_{u: pair_src_u = n} d_rows[u]`` a presorted
+    # Pallas aggregation instead of an XLA scatter-add
+    # (``ops/spmm.py::_gather_rows_agg_bwd``). Pad pairs carry
+    # ``pair_src == 0`` exactly like the scatter path (their cotangents
+    # are zero), so semantics are identical.
+    src_layout: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,11 +217,16 @@ if _HAVE_JAX:
     )
 
     def _pairs_flatten(p: SrcRelPairs):
-        return (p.pair_src, p.pair_rel, p.edge_pair, p.agg), (p.num_pairs,)
+        return (
+            (p.pair_src, p.pair_rel, p.edge_pair, p.agg, p.src_layout),
+            (p.num_pairs,),
+        )
 
     def _pairs_unflatten(aux, children):
-        pair_src, pair_rel, edge_pair, agg = children
-        return SrcRelPairs(pair_src, pair_rel, edge_pair, aux[0], agg)
+        pair_src, pair_rel, edge_pair, agg, src_layout = children
+        return SrcRelPairs(
+            pair_src, pair_rel, edge_pair, aux[0], agg, src_layout
+        )
 
     jax.tree_util.register_pytree_node(
         SrcRelPairs, _pairs_flatten, _pairs_unflatten
@@ -367,6 +381,29 @@ def build_pair_agg(
     )
 
 
+def build_pair_src_layout(es: EdgeSet, pad_to: Optional[int] = None):
+    """Pairs-grouped-by-source layout: a
+    :class:`~rgcn_tpu.ops.pallas_aggregate.DstLayout` over ``pair_src``
+    with ``num_nodes`` segments, for the scatter-free wide-gather
+    backward (``ops/spmm.py::_gather_rows_agg_bwd``). Pad pairs carry
+    ``pair_src == 0`` — included, exactly like the XLA scatter they
+    replace (their cotangents are zero).
+
+    ``pad_to`` pads to a fixed slot count for shard-uniform shapes
+    (:func:`rgcn_tpu.dist.mesh.prepare_sharded_pairs_host`).
+    """
+    if es.pairs is None or es.layout is None:
+        raise ValueError("build_pair_src_layout needs pairs and a layout")
+    from rgcn_tpu.ops.pallas_aggregate import build_dst_layout
+
+    chunk = es.layout.chunk
+    return build_dst_layout(
+        np.asarray(es.pairs.pair_src), es.num_nodes,
+        row_block=auto_nc_row_block(es.num_nodes, chunk=chunk),
+        chunk=chunk, pad_to=pad_to,
+    )
+
+
 def auto_nc_row_block(num_nodes: int, chunk: int = 256) -> int:
     """Aggregation-layout row block for STATIC full-graph (NC) EdgeSets.
 
@@ -446,6 +483,12 @@ def build_edge_set(
                     es,
                     pairs=dataclasses.replace(
                         es.pairs, agg=build_pair_agg(es)
+                    ),
+                )
+                es = dataclasses.replace(
+                    es,
+                    pairs=dataclasses.replace(
+                        es.pairs, src_layout=build_pair_src_layout(es)
                     ),
                 )
         if not with_merged_layout:

@@ -29,6 +29,7 @@ reference path and the correctness oracle.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -346,6 +347,47 @@ def _pair_fan_aggregate(m, edges, aggregate):
 _PAIR_CONTRACT_GEMM = True
 
 
+# Scatter-free wide-gather backward: the AD of ``table[pair_src]`` is an
+# XLA scatter-add of (U, nb·dout) cotangent rows into the (N, nb·dout)
+# table (measured 21.8 ms/layer at AM scale, probe_stress_nc xp_dt).
+# With the host-built pairs-grouped-by-source layout
+# (``SrcRelPairs.src_layout``) the same sum runs as ONE presorted Pallas
+# aggregation — f32 accumulation (better than the scatter's compute-dtype
+# adds), no scatter anywhere in the NC step. Trace-time flag, probe
+# variants "_dtlay"; default ON where the layout exists (measured
+# interleaved A/B at AM scale: see BASELINE.md round-10 rows).
+_PAIR_DT_LAYOUT = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_rows_agg_bwd(table, idx, layout, num_rows):
+    """``table[idx]`` whose backward aggregates through ``layout``
+    (a DstLayout over ``idx`` with ``num_rows`` segments) instead of
+    scatter-adding. Semantically identical to plain AD — an exact
+    reassociation with f32 accumulation."""
+    return table[idx]
+
+
+def _gather_rows_agg_fwd(table, idx, layout, num_rows):
+    return table[idx], (layout,)
+
+
+def _gather_rows_agg_rev(num_rows, res, g):
+    from rgcn_tpu.ops.pallas_aggregate import aggregate_presorted_pallas
+
+    (layout,) = res
+    g_z = jnp.concatenate(
+        [g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0
+    )
+    srt = jax.lax.optimization_barrier(g_z[layout.perm])
+    d_table = aggregate_presorted_pallas(srt, layout, num_rows)
+    # the cotangent of the gather output carries the table's dtype
+    return d_table.astype(g.dtype), None, None
+
+
+_gather_rows_agg_bwd.defvjp(_gather_rows_agg_fwd, _gather_rows_agg_rev)
+
+
 def _expand_collapse(nb, dout, dtype):
     expand = (
         jax.lax.broadcasted_iota(jnp.int32, (nb, nb * dout), 1) // dout
@@ -370,7 +412,18 @@ def _pair_contract(table, comps, pi, nb, dout, *, precision=None):
         # per-element strided loads (interleaved A/B at AM scale: 82.9 vs
         # 96.5 ms on the gather+contract piece, probe_stress_nc
         # --ab xp_gc,xp_gcmat)
-        rows = jax.lax.optimization_barrier(table[pi.pair_src])
+        if (
+            _PAIR_DT_LAYOUT
+            and pi.src_layout is not None
+            and table.ndim == 2
+        ):
+            rows = jax.lax.optimization_barrier(
+                _gather_rows_agg_bwd(
+                    table, pi.pair_src, pi.src_layout, table.shape[0]
+                )
+            )
+        else:
+            rows = jax.lax.optimization_barrier(table[pi.pair_src])
         if _PAIR_CONTRACT_GEMM:
             expand, collapse = _expand_collapse(nb, dout, rows.dtype)
             c_wide = jnp.dot(c_u.astype(rows.dtype), expand,

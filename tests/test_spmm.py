@@ -611,3 +611,54 @@ def test_pair_contract_gemm_exact(featureful, monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("featureful", [False, True])
+def test_pair_dt_layout_backward_exact(featureful, monkeypatch):
+    """Scatter-free wide-gather backward (``spmm._PAIR_DT_LAYOUT`` +
+    ``SrcRelPairs.src_layout``) == the plain AD scatter-add: forward AND
+    gradients, both pair paths (an exact reassociation — f32
+    tolerances). The src_layout includes pad pairs at node 0 exactly
+    like the scatter it replaces."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    n, r, nb, dout = 30, 4, 5, 6
+    triples = make_random_triples(rng, 12, r, 90, unique=True)
+    bases_fl = jnp.asarray(rng.normal(size=(nb, n, dout)).astype(np.float32))
+    din = 7
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    bases_ff = jnp.asarray(
+        rng.normal(size=(nb, din, dout)).astype(np.float32)
+    )
+    comps = jnp.asarray(rng.normal(size=(2 * r, nb)).astype(np.float32))
+
+    es = build_edge_set(
+        triples, n, r, tile_size=8, with_dst_layout=True,
+        with_pair_index=True, with_pair_agg=True,
+    )
+    assert es.pairs.src_layout is not None
+
+    def f(use_layout):
+        monkeypatch.setattr(spmm, "_PAIR_DT_LAYOUT", use_layout)
+
+        def loss(b, c):
+            if featureful:
+                out = spmm.rel_spmm_basis_pairs(es, x, b, c)
+            else:
+                out = spmm.rel_spmm_featureless_basis(es, b, c)
+            return jnp.sum(out * out), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(bases_ff if featureful else bases_fl, comps)
+        return out, grads
+
+    out0, (gb0, gc0) = f(False)
+    out1, (gb1, gc1) = f(True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
+                               rtol=1e-4, atol=1e-5)
