@@ -605,6 +605,10 @@ def main():
         # (spmm._PAIR_DT_LAYOUT; trace-time flip) — the dT term runs as
         # the XLA scatter-add baseline
         "agg_dtscat": (lambda: make_step(), es_pairs, tx, False),
+        # "_valjit" disables the host-composed static slot values
+        # (pallas_aggregate._PAIR_STATIC_VAL) — vals gathered in-jit
+        "agg_valjit": (lambda: make_step(), es_pairs, tx, False),
+        "fwd_agg_valjit": (make_fwd_step, es_pairs, tx, False),
         "fwd_agg": (make_fwd_step, es_pairs, tx, False),
         "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
@@ -763,6 +767,9 @@ def main():
             old_dtlay = _spmm_mod._PAIR_DT_LAYOUT
             if "dtscat" in name:
                 _spmm_mod._PAIR_DT_LAYOUT = False
+            old_sval = _pa._PAIR_STATIC_VAL
+            if "valjit" in name:
+                _pa._PAIR_STATIC_VAL = False
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
@@ -806,6 +813,7 @@ def main():
                 _spmm_mod._FAN_AGG_PAD = old_pad
                 _spmm_mod._PAIR_CONTRACT_GEMM = old_gemm
                 _spmm_mod._PAIR_DT_LAYOUT = old_dtlay
+                _pa._PAIR_STATIC_VAL = old_sval
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]

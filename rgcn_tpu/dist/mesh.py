@@ -291,6 +291,8 @@ def prepare_sharded_pairs_host(
         grad_layout=grad_layout,
         grad_edge=cat(lambda e: e.pairs.agg.grad_edge),
         grad_dst=cat(lambda e: e.pairs.agg.grad_dst),
+        slot_val=cat(lambda e: e.pairs.agg.slot_val),
+        grad_val=cat(lambda e: e.pairs.agg.grad_val),
     )
     s0 = locals_[0].pairs.src_layout
     src_layout = DstLayout(

@@ -194,6 +194,14 @@ class PairAggLayout:
     grad_layout: object  # DstLayout over slot_pair (U_pad segments)
     grad_edge: np.ndarray  # (Lb,) int32 in [0, E_pad]
     grad_dst: np.ndarray  # (Lb,) int32 in [0, num_nodes]
+    # Optional HOST-composed per-slot values (``val_z[layout.perm]``) and
+    # their backward-layout counterpart (``val_z[grad_edge]``): static NC
+    # graphs never reweight, so the in-jit (L,)/(Lb,) val gathers are
+    # avoidable. Presence makes the CAUTION above stricter: replacing
+    # ``val`` (not just layout/pairs) MUST drop ``agg`` too — the
+    # value-composed arrays freeze a snapshot of ``val``.
+    slot_val: Optional[np.ndarray] = None  # (L,) f32
+    grad_val: Optional[np.ndarray] = None  # (Lb,) f32
 
 
 if _HAVE_JAX:
@@ -235,7 +243,7 @@ if _HAVE_JAX:
     def _pair_agg_flatten(p: PairAggLayout):
         return (
             (p.slot_pair, p.slot_dst, p.grad_layout, p.grad_edge,
-             p.grad_dst),
+             p.grad_dst, p.slot_val, p.grad_val),
             (),
         )
 
@@ -372,13 +380,43 @@ def build_pair_agg(
     perm_z = np.concatenate([perm, [e_pad]]).astype(np.int64)
     grad_edge = perm_z[gperm].astype(np.int32)
     grad_dst = dst_z[grad_edge].astype(np.int32)  # e_pad -> num_nodes
+    # Host-composed values: static NC graphs never reweight, so the
+    # per-step (L,)/(Lb,) val gathers are avoidable (sentinels -> 0).
+    val_z = np.concatenate(
+        [np.asarray(es.val, dtype=np.float32), [0.0]]
+    ).astype(np.float32)
     return PairAggLayout(
         slot_pair=slot_pair,
         slot_dst=slot_dst,
         grad_layout=grad_layout,
         grad_edge=grad_edge,
         grad_dst=grad_dst,
+        slot_val=val_z[np.minimum(perm, e_pad)],
+        grad_val=val_z[grad_edge],
     )
+
+
+def reweight_edge_set(es: EdgeSet, val) -> EdgeSet:
+    """Replace per-edge values SAFELY.
+
+    Value snapshots must not go stale: drops the coalesced ``merged``
+    layout (its per-slot coefficients freeze ``(rel, val)``) and the
+    pair-agg value-composed arrays (``slot_val``/``grad_val``, which
+    freeze ``val``); KEEPS the dst layout, pair index, composed
+    aggregation maps and ``src_layout`` — those freeze only topology,
+    and the composed path falls back to gathering the live values
+    in-jit (``val_z[layout.perm]``), which stays exact under masks
+    (``tests/test_spmm.py::test_composed_pair_aggregation_exact``).
+    """
+    pairs = es.pairs
+    if pairs is not None and pairs.agg is not None:
+        pairs = dataclasses.replace(
+            pairs,
+            agg=dataclasses.replace(
+                pairs.agg, slot_val=None, grad_val=None
+            ),
+        )
+    return dataclasses.replace(es, val=val, merged=None, pairs=pairs)
 
 
 def build_pair_src_layout(es: EdgeSet, pad_to: Optional[int] = None):

@@ -374,6 +374,16 @@ def _pairs_fusion_default() -> bool:
     return False
 
 
+# Use the HOST-composed per-slot values (PairAggLayout.slot_val/grad_val)
+# when present instead of gathering val_z[perm] / val_z[grad_edge] per
+# step — static NC graphs never reweight, and the in-jit gathers are
+# (L,)/(Lb,) ≈ 1.6M elements per layer per step at AM scale. Trace-time
+# A/B flag (probe variants "_valjit" disable). Correctness contract:
+# value-composed arrays freeze a snapshot of val — any runtime
+# reweighting MUST drop pairs.agg (PairAggLayout docstring).
+_PAIR_STATIC_VAL = True
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def aggregate_pairs_ad(m, val, edge_pair, dst, agg, layout, num_nodes):
     """``out[n] = Σ_{e: dst_e = n} val_e · m[edge_pair_e]`` without ever
@@ -393,8 +403,13 @@ def aggregate_pairs_ad(m, val, edge_pair, dst, agg, layout, num_nodes):
 def _aggregate_pairs_fwd(m, val, edge_pair, dst, agg, layout, num_nodes):
     dout = m.shape[-1]
     m_z = jnp.concatenate([m, jnp.zeros((1, dout), m.dtype)], axis=0)
-    val_z = jnp.concatenate([val, jnp.zeros((1,), val.dtype)], axis=0)
-    v_slot = val_z[layout.perm]
+    if _PAIR_STATIC_VAL and agg.slot_val is not None:
+        v_slot = agg.slot_val
+    else:
+        val_z = jnp.concatenate(
+            [val, jnp.zeros((1,), val.dtype)], axis=0
+        )
+        v_slot = val_z[layout.perm]
     msgs_sorted = m_z[agg.slot_pair] * v_slot[:, None]
     out = aggregate_presorted_pallas(
         msgs_sorted, layout, num_nodes,
@@ -408,12 +423,18 @@ def _aggregate_pairs_bwd(num_nodes, res, g):
     dout = g.shape[-1]
     u_pad = m.shape[0]
     g_pad = jnp.concatenate([g, jnp.zeros((1, dout), g.dtype)], axis=0)
-    val_z = jnp.concatenate([val, jnp.zeros((1,), val.dtype)], axis=0)
     # d_m[u] = Σ_{slots l with slot_pair_l = u} val_l · g[slot_dst_l]:
     # a presorted aggregation over the slots-grouped-by-pair layout, its
     # inputs gathered through the host-composed slot→edge / slot→dst maps
     # (sentinels index the appended zero rows).
-    w_sorted = val_z[agg.grad_edge][:, None] * g_pad[
+    if _PAIR_STATIC_VAL and agg.grad_val is not None:
+        v_grad = agg.grad_val
+    else:
+        val_z = jnp.concatenate(
+            [val, jnp.zeros((1,), val.dtype)], axis=0
+        )
+        v_grad = val_z[agg.grad_edge]
+    w_sorted = v_grad[:, None] * g_pad[
         jnp.minimum(agg.grad_dst, num_nodes)
     ]
     d_m = aggregate_presorted_pallas(

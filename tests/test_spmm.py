@@ -357,9 +357,8 @@ def test_composed_pair_aggregation_exact():
     ``pallas_aggregate.aggregate_pairs_ad``) must equal the explicit
     fan-out + segment_sum path: forward AND gradients w.r.t.
     bases/comps/x, on both basis pair paths, including after runtime
-    reweighting (dropout masks replace ``val``)."""
-    import dataclasses as _dc
-
+    reweighting (``reweight_edge_set`` — drops the value-frozen
+    slot_val/grad_val snapshots, keeps the composed maps)."""
     from rgcn_tpu.ops.pallas_aggregate import aggregate_messages_ad
 
     rng = np.random.default_rng(13)
@@ -378,10 +377,18 @@ def test_composed_pair_aggregation_exact():
         with_dst_layout=True, layout_row_block=16, layout_chunk=8,
     )
     assert es.pairs.agg is not None
-    # reweighted variant: the agg layout freezes only (src, rel) — a val
-    # mask must stay exact through the composed path
+    assert es.pairs.agg.slot_val is not None  # static-val fast path built
+    # reweighted variant: reweight_edge_set drops the value-composed
+    # arrays (slot_val/grad_val freeze val) but KEEPS the composed maps —
+    # a val mask must stay exact through the composed path's in-jit
+    # val-gather fallback
+    from rgcn_tpu.graph.structure import reweight_edge_set
+
     mask = (rng.random(es.val.shape[0]) > 0.3).astype(np.float32)
-    es_masked = _dc.replace(es, val=jnp.asarray(np.asarray(es.val) * mask))
+    es_masked = reweight_edge_set(
+        es, jnp.asarray(np.asarray(es.val) * mask)
+    )
+    assert es_masked.pairs.agg.slot_val is None
 
     for es_ in (es, es_masked):
         def fused_fl(b, c):
