@@ -293,6 +293,59 @@ def test_sharded_nc_step_pairs_matches_single_device(mesh):
     tree_allclose(params_s, params_ref)
 
 
+def test_sharded_pairs_host_imbalanced_and_empty_shards(mesh):
+    """prepare_sharded_pairs_host's uniform static bounds hold when the
+    graph is wildly imbalanced across tile slices — including shards
+    whose slice is ALL padding (one giant relation hogs the tile axis).
+    The sharded step must still equal the single-device computation."""
+    from rgcn_tpu.dist.mesh import prepare_sharded_pairs_host
+
+    rng = np.random.default_rng(37)
+    n, r, c, nb = 40, 6, 3, 10
+    # all edges in ONE relation: after relation-sorted tiling most tiles
+    # belong to it, so several mesh slices hold only its segment and the
+    # trailing slices only pad tiles
+    src = rng.integers(0, n, 130)
+    dst = rng.integers(0, n, 130)
+    triples = np.stack([dst, np.zeros(130, np.int64), src], axis=1)
+    train_idx = jnp.asarray(rng.choice(n, 10, replace=False))
+    train_lbl = jnp.asarray(rng.integers(0, c, 10))
+
+    kwargs = dict(
+        num_nodes=n, num_relations=r, num_classes=c, hidden_size=8,
+        decomposition="basis", num_bases=nb,
+    )
+    model_s = NodeClassifier(axis_name=EDGE_AXIS, backend="pallas", **kwargs)
+    model_1 = NodeClassifier(**kwargs)
+
+    es_1 = build_edge_set(
+        triples, n, r, tile_size=8, with_dst_layout=True,
+        with_pair_index=True, with_pair_agg=True,
+    )
+    es_bare = build_edge_set(triples, n, r, tile_size=8,
+                             tile_multiple=N_DEV)
+    es_s = prepare_sharded_pairs_host(es_bare, mesh, row_block=8)
+
+    params = model_1.init(jax.random.key(0), es_1)
+    tx = make_optimizer("sgd", 0.01)
+
+    def loss_1(p):
+        logits = model_1.apply(p, es_1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], train_lbl
+        ).mean()
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_1)(params)
+    upd, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    step = make_sharded_nc_step(model_s, tx, mesh, train_idx, train_lbl)
+    params_s, _, loss_s = step(params, tx.init(params), es_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+    tree_allclose(params_s, params_ref)
+
+
 def test_sharded_nc_driver_pairs_matches_single_device(mesh):
     """The sharded NC driver auto-selects the per-shard pair structures
     for many-basis configs (pair_ok gating mirrors the single-device
