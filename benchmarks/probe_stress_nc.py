@@ -609,6 +609,13 @@ def main():
         # (pallas_aggregate._PAIR_STATIC_VAL) — vals gathered in-jit
         "agg_valjit": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_valjit": (make_fwd_step, es_pairs, tx, False),
+        # "_big" raises spmm._PAIR_ELEM_BUDGET so AM LAYER 2 (u_pad · nb
+        # · classes ≈ 260M elements, just over the 256M default) takes
+        # the single-shot path (GEMM contraction + post-gather barrier +
+        # dt-layout backward) instead of the serialized lax.map
+        # checkpoint groups
+        "agg_big": (lambda: make_step(), es_pairs, tx, False),
+        "fwd_agg_big": (make_fwd_step, es_pairs, tx, False),
         "fwd_agg": (make_fwd_step, es_pairs, tx, False),
         "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
@@ -770,6 +777,9 @@ def main():
             old_sval = _pa._PAIR_STATIC_VAL
             if "valjit" in name:
                 _pa._PAIR_STATIC_VAL = False
+            old_budget = _spmm_mod._PAIR_ELEM_BUDGET
+            if "big" in name:
+                _spmm_mod._PAIR_ELEM_BUDGET = 640_000_000
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
@@ -814,6 +824,7 @@ def main():
                 _spmm_mod._PAIR_CONTRACT_GEMM = old_gemm
                 _spmm_mod._PAIR_DT_LAYOUT = old_dtlay
                 _pa._PAIR_STATIC_VAL = old_sval
+                _spmm_mod._PAIR_ELEM_BUDGET = old_budget
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]
