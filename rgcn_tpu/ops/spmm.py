@@ -53,9 +53,16 @@ __all__ = [
 _ELEM_BUDGET = 64_000_000
 # The pair paths dedup the intermediate ~2.5x AND the lax.map grouping
 # measured ~600 ms of overhead at AM scale (l1 fwd 727 ms grouped vs
-# ~115 ms composed ungrouped pieces, probe_stress_nc round 4) — allow a
-# 1 GB f32 intermediate before grouping kicks in.
-_PAIR_ELEM_BUDGET = 256_000_000
+# ~115 ms composed ungrouped pieces, probe_stress_nc round 4). Round 10:
+# AM's LAYER 2 (592k pairs × 40 bases × 11 classes ≈ 260M elements) sat
+# just over the old 256M cap and rode the serialized checkpoint groups —
+# missing the GEMM contraction, post-gather barrier, and dt-layout
+# backward; raising the cap measured the full step 164.7 vs 186.0 ms
+# interleaved (canary-quiet, probe_stress_nc --ab agg,agg_big). 512M
+# (~1 GB bf16 / 2 GB f32 per intermediate, a few resident at once in
+# AD) keeps comfortable headroom on a 16 GB chip; true stress scales
+# still group.
+_PAIR_ELEM_BUDGET = 512_000_000
 
 
 def aggregate_messages(
