@@ -570,15 +570,60 @@ def main():
         return (run(1 + iters) - run(1)) / iters
 
     sgd = make_optimizer("sgd", 0.01)
+
+    @contextlib.contextmanager
+    def variant_flags(name):
+        """Trace-time flag flips encoded in variant names — ONE place,
+        used by BOTH the interleaved and sequential paths, so a
+        variant's label always matches the program it measured.
+        Suffixes flip defaults OFF (the bare variant is production):
+        _nofuse (pairs input fusion), _nopad (lane padding), _nogemm
+        (GEMM pair contraction), _dtscat (scatter-free dT backward),
+        _valjit (host-composed static slot values), _grp256 (restore
+        the pre-round-10 256M pair element budget — AM layer 2 back to
+        the serialized checkpoint groups)."""
+        import rgcn_tpu.ops.pallas_aggregate as _pa
+
+        from rgcn_tpu.ops import spmm as _spmm_mod
+
+        old = (
+            _pa._PAIRS_INPUT_FUSION, _spmm_mod._FAN_AGG_PAD,
+            _spmm_mod._PAIR_CONTRACT_GEMM, _spmm_mod._PAIR_DT_LAYOUT,
+            _pa._PAIR_STATIC_VAL, _spmm_mod._PAIR_ELEM_BUDGET,
+        )
+        if "nofuse" in name:
+            _pa._PAIRS_INPUT_FUSION = False
+        if "nopad" in name:
+            _spmm_mod._FAN_AGG_PAD = False
+        if "nogemm" in name:
+            _spmm_mod._PAIR_CONTRACT_GEMM = False
+        if "dtscat" in name:
+            _spmm_mod._PAIR_DT_LAYOUT = False
+        if "valjit" in name:
+            _pa._PAIR_STATIC_VAL = False
+        if "grp256" in name:
+            _spmm_mod._PAIR_ELEM_BUDGET = 256_000_000
+        try:
+            yield
+        finally:
+            (
+                _pa._PAIRS_INPUT_FUSION, _spmm_mod._FAN_AGG_PAD,
+                _spmm_mod._PAIR_CONTRACT_GEMM,
+                _spmm_mod._PAIR_DT_LAYOUT, _pa._PAIR_STATIC_VAL,
+                _spmm_mod._PAIR_ELEM_BUDGET,
+            ) = old
+
     # (builder, EdgeSet, optimizer, force-f32-tables?) per variant:
-    # pairs/plain = production step (bf16 tables on TPU since round 6);
-    # *_f32 = the pre-bf16 baseline; fwd = forward-only (splits fwd vs
+    # *_f32 = the pre-bf16 baseline; fwd* = forward-only (splits fwd vs
     # bwd+adam); sgd = optimizer ablation (Adam cost on 120M params);
     # nol2 = layer-1 L2 penalty ablation.
-    # NOTE: "pairs"/"fwd"/... ride es_noagg — the PRODUCTION pair path
-    # (explicit fan-out; the composed aggregation measured 2.3x slower
-    # forward and is opt-in experimental). "agg*" variants exercise the
-    # composed path (es_pairs carries pairs.agg here).
+    # NOTE: since round 10 the PRODUCTION path is "agg" — es_pairs with
+    # the composed pair aggregation, GEMM contraction, static slot
+    # values, dt-layout backward and the 512M budget all default-ON
+    # (the round-7 "2.3x slower" verdict on the composed path was
+    # transfer contamination). "pairs"/"fwd" ride es_noagg — the
+    # EXPLICIT fan-out baseline the round-10 default replaced; xp_*
+    # pieces attribute that explicit path unless suffixed otherwise.
     variants = {
         "plain": (lambda: make_step(), es_plain, tx, False),
         "pairs": (lambda: make_step(), es_noagg, tx, False),
@@ -588,10 +633,10 @@ def main():
         # (spmm._FAN_AGG_PAD; trace-time flip like "_nofuse")
         "fwd_nopad": (make_fwd_step, es_noagg, tx, False),
         "pairs_nopad": (lambda: make_step(), es_noagg, tx, False),
-        # "_gemm" variants enable the GEMM-form pair contraction
-        # (spmm._PAIR_CONTRACT_GEMM; trace-time flip like "_nofuse")
-        "fwd_gemm": (make_fwd_step, es_noagg, tx, False),
-        "pairs_gemm": (lambda: make_step(), es_noagg, tx, False),
+        # "_nogemm" disables the (default-ON since round 10) GEMM-form
+        # pair contraction — the batched-einsum baseline
+        "fwd_nogemm": (make_fwd_step, es_noagg, tx, False),
+        "pairs_nogemm": (lambda: make_step(), es_noagg, tx, False),
         "fwd_f32": (make_fwd_step, es_noagg, tx, True),
         "fwd_nol2": (lambda: make_fwd_step(with_l2=False), es_noagg, tx,
                      False),
@@ -600,22 +645,17 @@ def main():
         "noagg": (lambda: make_step(), es_noagg, tx, False),
         "fwd_noagg": (make_fwd_step, es_noagg, tx, False),
         "agg": (lambda: make_step(), es_pairs, tx, False),
-        "agg_gemm": (lambda: make_step(), es_pairs, tx, False),
-        # "_dtscat" disables the scatter-free wide-gather backward
-        # (spmm._PAIR_DT_LAYOUT; trace-time flip) — the dT term runs as
-        # the XLA scatter-add baseline
+        "agg_nogemm": (lambda: make_step(), es_pairs, tx, False),
+        # "_dtscat": dT term as the XLA scatter-add baseline
         "agg_dtscat": (lambda: make_step(), es_pairs, tx, False),
-        # "_valjit" disables the host-composed static slot values
-        # (pallas_aggregate._PAIR_STATIC_VAL) — vals gathered in-jit
+        # "_valjit": per-step in-jit val gathers (pre-round-10 baseline)
         "agg_valjit": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_valjit": (make_fwd_step, es_pairs, tx, False),
-        # "_big" raises spmm._PAIR_ELEM_BUDGET so AM LAYER 2 (u_pad · nb
-        # · classes ≈ 260M elements, just over the 256M default) takes
-        # the single-shot path (GEMM contraction + post-gather barrier +
-        # dt-layout backward) instead of the serialized lax.map
-        # checkpoint groups
-        "agg_big": (lambda: make_step(), es_pairs, tx, False),
-        "fwd_agg_big": (make_fwd_step, es_pairs, tx, False),
+        # "_grp256": pre-round-10 256M pair budget — AM layer 2 (~260M
+        # elements) back on the serialized lax.map checkpoint groups
+        # (the round-10 512M default measured 164.7 vs 186.0 ms)
+        "agg_grp256": (lambda: make_step(), es_pairs, tx, False),
+        "fwd_agg_grp256": (make_fwd_step, es_pairs, tx, False),
         "fwd_agg": (make_fwd_step, es_pairs, tx, False),
         "agg_nofuse": (lambda: make_step(), es_pairs, tx, False),
         "fwd_agg_nofuse": (make_fwd_step, es_pairs, tx, False),
@@ -749,82 +789,52 @@ def main():
         the fastest by a short chained estimate gives every variant its
         good draw before the honest interleaved comparison starts, the
         same remedy the trainers use (exe_search)."""
-        import rgcn_tpu.ops.pallas_aggregate as _pa
-
         states = {}
         for name, (step, es, opt) in named_steps.items():
             es = dev(es)
             params = model.init(jax.random.key(0), es)
             opt_state = opt.init(params)
             t0 = time.time()
-            # "_nofuse"/"_f32" variants flip TRACE-time choices — they
-            # must wrap the FIRST call / lowering (where jit traces),
-            # not the builder
-            old_fuse = _pa._PAIRS_INPUT_FUSION
-            if "nofuse" in name:
-                _pa._PAIRS_INPUT_FUSION = False
-            from rgcn_tpu.ops import spmm as _spmm_mod
-
-            old_pad = _spmm_mod._FAN_AGG_PAD
-            if "nopad" in name:
-                _spmm_mod._FAN_AGG_PAD = False
-            old_gemm = _spmm_mod._PAIR_CONTRACT_GEMM
-            if "gemm" in name:
-                _spmm_mod._PAIR_CONTRACT_GEMM = True
-            old_dtlay = _spmm_mod._PAIR_DT_LAYOUT
-            if "dtscat" in name:
-                _spmm_mod._PAIR_DT_LAYOUT = False
-            old_sval = _pa._PAIR_STATIC_VAL
-            if "valjit" in name:
-                _pa._PAIR_STATIC_VAL = False
-            old_budget = _spmm_mod._PAIR_ELEM_BUDGET
-            if "big" in name:
-                _spmm_mod._PAIR_ELEM_BUDGET = 640_000_000
+            # suffix variants flip TRACE-time choices — they must wrap
+            # the FIRST call / lowering (where jit traces), not the
+            # builder (variant_flags: the single source of suffix truth)
             ctx = (
                 force_f32_pair_tables()
                 if name.endswith("_f32")
                 else contextlib.nullcontext()
             )
-            try:
-                with ctx:
-                    if draws > 1:
-                        best_c = best_ms = None
-                        for i in range(draws):
-                            # a fresh lowering per attempt — reusing one
-                            # Lowered can hand back a cached executable
-                            # instead of a fresh draw
-                            td = time.time()
-                            cand = step.lower(
-                                params, opt_state, es
-                            ).compile()
-                            p, o, loss = cand(params, opt_state, es)
-                            float(loss)
-                            t_s = time.perf_counter()
+            with variant_flags(name), ctx:
+                if draws > 1:
+                    best_c = best_ms = None
+                    for i in range(draws):
+                        # a fresh lowering per attempt — reusing one
+                        # Lowered can hand back a cached executable
+                        # instead of a fresh draw
+                        td = time.time()
+                        cand = step.lower(
+                            params, opt_state, es
+                        ).compile()
+                        p, o, loss = cand(params, opt_state, es)
+                        float(loss)
+                        t_s = time.perf_counter()
+                        p, o, loss = cand(p, o, es)
+                        float(loss)
+                        t_s = time.perf_counter() - t_s
+                        t_l = time.perf_counter()
+                        for _ in range(4):
                             p, o, loss = cand(p, o, es)
-                            float(loss)
-                            t_s = time.perf_counter() - t_s
-                            t_l = time.perf_counter()
-                            for _ in range(4):
-                                p, o, loss = cand(p, o, es)
-                            float(loss)
-                            t_l = time.perf_counter() - t_l
-                            ms = (t_l - t_s) / 3 * 1e3
-                            print(
-                                f"  [{name}] draw {i}: {ms:.1f} ms "
-                                f"(compile+est {time.time() - td:.1f}s)",
-                                flush=True,
-                            )
-                            if best_ms is None or ms < best_ms:
-                                best_c, best_ms = cand, ms
-                        step = best_c
-                    params, opt_state, loss = step(params, opt_state, es)
-            finally:
-                _pa._PAIRS_INPUT_FUSION = old_fuse
-                _spmm_mod._FAN_AGG_PAD = old_pad
-                _spmm_mod._PAIR_CONTRACT_GEMM = old_gemm
-                _spmm_mod._PAIR_DT_LAYOUT = old_dtlay
-                _pa._PAIR_STATIC_VAL = old_sval
-                _spmm_mod._PAIR_ELEM_BUDGET = old_budget
+                        float(loss)
+                        t_l = time.perf_counter() - t_l
+                        ms = (t_l - t_s) / 3 * 1e3
+                        print(
+                            f"  [{name}] draw {i}: {ms:.1f} ms "
+                            f"(compile+est {time.time() - td:.1f}s)",
+                            flush=True,
+                        )
+                        if best_ms is None or ms < best_ms:
+                            best_c, best_ms = cand, ms
+                    step = best_c
+                params, opt_state, loss = step(params, opt_state, es)
             print(f"  [{name}] compile+first: {time.time() - t0:.1f}s "
                   f"(loss {float(loss):.3f})", flush=True)
             states[name] = [step, es, params, opt_state]
@@ -882,27 +892,9 @@ def main():
     for name, (builder, es, opt, f32) in variants.items():
         if args.ab or not selected(name):
             continue
-        import rgcn_tpu.ops.pallas_aggregate as _pa2
-
         ctx = force_f32_pair_tables() if f32 else contextlib.nullcontext()
-        old_fuse = _pa2._PAIRS_INPUT_FUSION
-        if "nofuse" in name:
-            _pa2._PAIRS_INPUT_FUSION = False
-        from rgcn_tpu.ops import spmm as _spmm_mod2
-
-        old_pad = _spmm_mod2._FAN_AGG_PAD
-        if "nopad" in name:
-            _spmm_mod2._FAN_AGG_PAD = False
-        old_gemm2 = _spmm_mod2._PAIR_CONTRACT_GEMM
-        if "gemm" in name:
-            _spmm_mod2._PAIR_CONTRACT_GEMM = True
-        try:
-            with ctx:
-                dt = chain(builder(), dev(es), args.iters, opt=opt)
-        finally:
-            _pa2._PAIRS_INPUT_FUSION = old_fuse
-            _spmm_mod2._FAN_AGG_PAD = old_pad
-            _spmm_mod2._PAIR_CONTRACT_GEMM = old_gemm2
+        with variant_flags(name), ctx:
+            dt = chain(builder(), dev(es), args.iters, opt=opt)
         results[name] = round(dt * 1e3, 1)
         print(f"  {name}: {dt * 1e3:.1f} ms/step", flush=True)
 

@@ -216,12 +216,15 @@ def prepare_sharded_pairs_host(
     for k in range(n_shards):
         s = slice(k * e_local, (k + 1) * e_local)
         dst_k = dst[s]
+        # scaffolding EdgeSets for the host builders only (the returned
+        # EdgeSet keeps the caller's global metadata); the builders mask
+        # on the dst sentinel themselves, so num_edges is pass-through
         es_k = EdgeSet(
             src=src[s], dst=dst_k, rel=rel[s], val=val[s],
             tile_rel=tile_rel[k * nt_local:(k + 1) * nt_local],
             num_nodes=num_nodes, num_rels=num_rels,
             tile_size=edges.tile_size,
-            num_edges=int((dst_k < num_nodes).sum()),
+            num_edges=edges.num_edges,
             layout=build_dst_layout(
                 dst_k, num_nodes, row_block=row_block, chunk=chunk,
                 pad_to=l_bound,
@@ -269,7 +272,20 @@ def prepare_sharded_pairs_host(
         )
 
     def cat(get):
-        return np.concatenate([get(es_k) for es_k in locals_], axis=0)
+        # P(axis_name) splits concatenated leaves into n EQUAL contiguous
+        # blocks — unequal per-shard pieces would silently land on the
+        # wrong devices, so pin uniformity here (the bound math above
+        # mirrors the builders' internal row-block law; if either ever
+        # drifts, fail loudly instead of mis-sharding)
+        pieces = [np.asarray(get(es_k)) for es_k in locals_]
+        shape0 = pieces[0].shape
+        if any(p.shape != shape0 for p in pieces):
+            raise AssertionError(
+                f"per-shard structure shapes diverged: "
+                f"{[p.shape for p in pieces]} — the uniform static "
+                f"bounds no longer match the builders' internals"
+            )
+        return np.concatenate(pieces, axis=0)
 
     layout = DstLayout(
         perm=cat(lambda e: e.layout.perm),

@@ -399,14 +399,24 @@ def build_pair_agg(
 def reweight_edge_set(es: EdgeSet, val) -> EdgeSet:
     """Replace per-edge values SAFELY.
 
-    Value snapshots must not go stale: drops the coalesced ``merged``
-    layout (its per-slot coefficients freeze ``(rel, val)``) and the
-    pair-agg value-composed arrays (``slot_val``/``grad_val``, which
-    freeze ``val``); KEEPS the dst layout, pair index, composed
-    aggregation maps and ``src_layout`` — those freeze only topology,
-    and the composed path falls back to gathering the live values
-    in-jit (``val_z[layout.perm]``), which stays exact under masks
+    Value snapshots must not go stale. Drops every structure that froze
+    ``val`` at build time: the coalesced ``merged`` layout (per-slot
+    coefficients freeze ``(rel, val)``), the pair-agg value-composed
+    arrays (``slot_val``/``grad_val``), the ``fused`` relation-quantum
+    layout (stores a value-sorted copy), and the ``reverse`` EdgeSet
+    (carries ``val[r_order]`` plus its own fused layout). KEEPS the dst
+    layout, pair index, composed aggregation maps and ``src_layout`` —
+    those freeze only topology, and the composed path falls back to
+    gathering the live values in-jit (``val_z[layout.perm]``), which
+    stays exact under masks
     (``tests/test_spmm.py::test_composed_pair_aggregation_exact``).
+
+    Note dropping ``reverse``/``fused`` disables the Pallas custom-VJP
+    kernel paths that need them (they would otherwise compute with
+    pre-mask values); the XLA and pair paths remain. Rebuild via
+    :func:`build_edge_set` for a reweighted graph that needs those
+    kernels — or build masked values INTO the graph like the dynamic
+    per-epoch builders do (:mod:`rgcn_tpu.graph.dynamic`).
     """
     pairs = es.pairs
     if pairs is not None and pairs.agg is not None:
@@ -416,7 +426,9 @@ def reweight_edge_set(es: EdgeSet, val) -> EdgeSet:
                 pairs.agg, slot_val=None, grad_val=None
             ),
         )
-    return dataclasses.replace(es, val=val, merged=None, pairs=pairs)
+    return dataclasses.replace(
+        es, val=val, merged=None, pairs=pairs, fused=None, reverse=None
+    )
 
 
 def build_pair_src_layout(es: EdgeSet, pad_to: Optional[int] = None):

@@ -389,6 +389,10 @@ def test_composed_pair_aggregation_exact():
         es, jnp.asarray(np.asarray(es.val) * mask)
     )
     assert es_masked.pairs.agg.slot_val is None
+    # every value-frozen snapshot must be gone (fused + reverse carry
+    # build-time val copies the Pallas custom-VJP kernels would read)
+    assert es_masked.merged is None
+    assert es_masked.fused is None and es_masked.reverse is None
 
     for es_ in (es, es_masked):
         def fused_fl(b, c):
